@@ -1,0 +1,52 @@
+"""Host-side input pipeline: shuffled batches of packed arrays.
+
+Replaces the reference's torch DataLoader with worker processes
+(dataloader.py:254-259) — with preprocessed struct-of-arrays splits, batching
+is pure array slicing, so there is nothing to parallelize: each epoch is a
+permutation + views.  Batches go to device inside the jitted step (or via
+``jax.device_put`` with a ``NamedSharding`` for multi-chip data parallelism,
+see parallel/mesh.py).
+
+The final ragged batch is kept (torch DataLoader drop_last=False semantics);
+jit simply caches a second program for the remainder shape.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class BatchIterator:
+    """Reshuffling batch iterator over a packed split."""
+
+    def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
+                 shuffle: bool, seed: int = 0, drop_last: bool = False,
+                 pad_to_multiple: Optional[int] = None):
+        self.data = data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_to_multiple = pad_to_multiple
+        self._rng = np.random.default_rng(seed)
+        self.n = next(iter(data.values())).shape[0]
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = (self._rng.permutation(self.n) if self.shuffle
+               else np.arange(self.n))
+        stop = (self.n - self.n % self.batch_size if self.drop_last
+                else self.n)
+        for s in range(0, stop, self.batch_size):
+            sel = idx[s:min(s + self.batch_size, stop)]
+            batch = {k: v[sel] for k, v in self.data.items()}
+            if self.pad_to_multiple and len(sel) % self.pad_to_multiple:
+                pad = self.pad_to_multiple - len(sel) % self.pad_to_multiple
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                         for k, v in batch.items()}
+            yield batch

@@ -1,0 +1,128 @@
+"""C2DSR model forward passes (pure functions over a params pytree).
+
+Mirrors models/C2DSR.py:59-85:
+  * ``convolve_graph`` — three GCN propagations over the full item tables
+    (shared table over adj_share; A and B tables over adj_specific — the
+    domain separation comes from which table is propagated, C2DSR.py:61-62).
+  * ``forward`` — (propagated + raw) embedding lookup x sqrt(d) into three
+    causal self-attention towers.
+  * ``forward_share`` — shared tower only (used on corrupted sequences for
+    the infomax negatives, trainer.py:105,108).
+
+Pad-row semantics: torch's ``padding_idx`` freezes the pad row at zero
+(C2DSR.py:20).  Here the pad row is masked at apply time, which both zeroes
+the lookup result and kills the gradient into that row.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from c2dsr_tpu.config import Config, DataSpec
+from c2dsr_tpu.ops import encoder as enc
+from c2dsr_tpu.ops import spmm
+
+
+class Graphs(NamedTuple):
+    share: spmm.CooDevice
+    specific: spmm.CooDevice
+
+
+class Propagated(NamedTuple):
+    """GCN-propagated item tables (the reference's hi_share/hi_a/hi_b)."""
+    share: jax.Array
+    a: jax.Array
+    b: jax.Array
+
+
+def _pad_masked(table: jax.Array, idx_pad: int) -> jax.Array:
+    """Zero the pad row (value and gradient)."""
+    n = table.shape[0]
+    mask = (jnp.arange(n) != idx_pad).astype(table.dtype)
+    return table * mask[:, None]
+
+
+def embedding_tables(params: Dict[str, Any], cfg: Config, spec: DataSpec
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    share = _pad_masked(params["embed_share"], spec.idx_pad)
+    if cfg.shared_item_embed:
+        return share, share, share
+    return (share,
+            _pad_masked(params["embed_a"], spec.idx_pad),
+            _pad_masked(params["embed_b"], spec.idx_pad))
+
+
+def convolve_graph(params: Dict[str, Any], graphs: Graphs, cfg: Config,
+                   spec: DataSpec, rng: Optional[jax.Array]) -> Propagated:
+    """Propagate all three tables through their GCNs (C2DSR.py:59-62).
+
+    rng=None -> eval mode (no dropout).  Differentiable in params.
+    """
+    e_share, e_a, e_b = embedding_tables(params, cfg, spec)
+    r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
+    hi_share = spmm.gcn_propagate(graphs.share, e_share, cfg.n_gnn,
+                                  cfg.dropout_gnn, r(0))
+    hi_a = spmm.gcn_propagate(graphs.specific, e_a, cfg.n_gnn,
+                              cfg.dropout_gnn, r(1))
+    hi_b = spmm.gcn_propagate(graphs.specific, e_b, cfg.n_gnn,
+                              cfg.dropout_gnn, r(2))
+    return Propagated(share=hi_share, a=hi_a, b=hi_b)
+
+
+def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
+           rng: Optional[jax.Array]) -> jax.Array:
+    """(propagated + raw) lookup x sqrt(d) -> attention tower."""
+    h = (hi[seq] + raw_table[seq]) * (cfg.d_latent ** 0.5)
+    h = h.astype(jnp.dtype(cfg.compute_dtype))
+    out = enc.encode_sequence(
+        seq, h, pos, attn_params, idx_pad=spec.idx_pad, n_head=cfg.n_head,
+        dropout=cfg.dropout_attn, rng=rng, norm_first=cfg.norm_first,
+        invert_padding_mask=cfg.bug_inverted_padding_mask)
+    return out.astype(jnp.float32)
+
+
+def forward(params: Dict[str, Any], hi: Propagated, seq_share, seq_a, seq_b,
+            pos_share, pos_a, pos_b, cfg: Config, spec: DataSpec,
+            rng: Optional[jax.Array]
+            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Three towers (C2DSR.py:64-77). Returns (h_share, hx, hy), [B, L, d]."""
+    e_share, e_a, e_b = embedding_tables(params, cfg, spec)
+    r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
+    h_share = _tower(seq_share, pos_share, hi.share, e_share,
+                     params["attn_share"], cfg, spec, r(0))
+    hx = _tower(seq_a, pos_a, hi.a, e_a, params["attn_a"], cfg, spec, r(1))
+    hy = _tower(seq_b, pos_b, hi.b, e_b, params["attn_b"], cfg, spec, r(2))
+    return h_share, hx, hy
+
+
+def forward_share(params: Dict[str, Any], hi: Propagated, seq, pos,
+                  cfg: Config, spec: DataSpec, rng: Optional[jax.Array]
+                  ) -> jax.Array:
+    """Shared tower only (C2DSR.py:79-85)."""
+    e_share, _, _ = embedding_tables(params, cfg, spec)
+    return _tower(seq, pos, hi.share, e_share, params["attn_share"],
+                  cfg, spec, rng)
+
+
+def classify_a(params, h):
+    return h @ params["cls_a_w"] + params["cls_a_b"]
+
+
+def classify_b(params, h):
+    return h @ params["cls_b_w"] + params["cls_b_b"]
+
+
+def classify_pad(params, h):
+    return h @ params["cls_pad_w"] + params["cls_pad_b"]
+
+
+def discriminate(w: jax.Array, b: Optional[jax.Array], x1: jax.Array,
+                 x2: jax.Array) -> jax.Array:
+    """Bilinear discriminator x1^T W x2 (+ b) -> [B, 1] (C2DSR.py:46-55)."""
+    out = jnp.sum((x1 @ w) * x2, axis=-1, keepdims=True)
+    if b is not None:
+        out = out + b
+    return out

@@ -1,0 +1,104 @@
+"""Parameter pytrees and initialization for the C2DSR model.
+
+Matches the reference's parameter set and init distributions
+(models/C2DSR.py:20-56, torch defaults for nn.Embedding / nn.Linear /
+nn.MultiheadAttention):
+
+* item embedding tables: N(0, 1), pad row zero (padding_idx semantics —
+  enforced at apply time by masking the pad row, see model/c2dsr.py).
+* positional embedding: N(0, 1).
+* attention in-proj: xavier-uniform over the combined (3d, d) matrix,
+  zero bias; out-proj and FFN linears: torch Linear default
+  (kaiming-uniform a=sqrt(5) -> U(+-sqrt(1/fan_in)), bias U(+-1/sqrt(fan_in)));
+  out-proj bias zeroed (torch MHA _reset_parameters).
+* classifiers: xavier-uniform weights, zero bias (C2DSR.py:39-44).
+* bilinear discriminators: xavier-uniform with torch's 3D fan computation
+  (fan_in = d*d, fan_out = d), optional zero bias (C2DSR.py:46-55).
+
+Parameters are plain nested dicts — trivially shardable with path-based
+rules (parallel/mesh.py) and directly consumable by optax.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from c2dsr_tpu.config import Config, DataSpec
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_encoder_params(key: jax.Array, cfg: Config, len_max: int
+                        ) -> Dict[str, Any]:
+    d = cfg.d_latent
+    keys = jax.random.split(key, 2 + cfg.n_attn)
+    xavier_qkv = math.sqrt(6.0 / (3 * d + d))
+    lin_w = math.sqrt(1.0 / d)        # kaiming-uniform a=sqrt(5), fan_in=d
+    lin_b = 1.0 / math.sqrt(d)
+
+    layers = []
+    for li in range(cfg.n_attn):
+        k = jax.random.split(keys[2 + li], 8)
+        layers.append({
+            "w_qkv": _uniform(k[0], (d, 3 * d), xavier_qkv),
+            "b_qkv": jnp.zeros((3 * d,), jnp.float32),
+            "w_out": _uniform(k[1], (d, d), lin_w),
+            "b_out": jnp.zeros((d,), jnp.float32),
+            "w_ff1": _uniform(k[2], (d, d), lin_w),
+            "b_ff1": _uniform(k[3], (d,), lin_b),
+            "w_ff2": _uniform(k[4], (d, d), lin_w),
+            "b_ff2": _uniform(k[5], (d,), lin_b),
+            "ln1_scale": jnp.ones((d,), jnp.float32),
+            "ln1_bias": jnp.zeros((d,), jnp.float32),
+            "ln2_scale": jnp.ones((d,), jnp.float32),
+            "ln2_bias": jnp.zeros((d,), jnp.float32),
+        })
+    return {
+        "pos_emb": jax.random.normal(keys[0], (len_max, d), jnp.float32),
+        "layers": layers,
+        "lnf_scale": jnp.ones((d,), jnp.float32),
+        "lnf_bias": jnp.zeros((d,), jnp.float32),
+    }
+
+
+def init_params(key: jax.Array, cfg: Config, spec: DataSpec) -> Dict[str, Any]:
+    d = cfg.d_latent
+    n, na, nb = spec.n_item, spec.n_item_a, spec.n_item_b
+    ks = jax.random.split(key, 16)
+
+    def embed_table(k):
+        t = jax.random.normal(k, (n, d), jnp.float32)
+        return t.at[spec.idx_pad].set(0.0)
+
+    params: Dict[str, Any] = {
+        "embed_share": embed_table(ks[0]),
+        "attn_share": init_encoder_params(ks[3], cfg, spec.len_max),
+        "attn_a": init_encoder_params(ks[4], cfg, spec.len_max),
+        "attn_b": init_encoder_params(ks[5], cfg, spec.len_max),
+        "cls_a_w": _uniform(ks[6], (d, na), math.sqrt(6.0 / (na + d))),
+        "cls_a_b": jnp.zeros((na,), jnp.float32),
+        "cls_b_w": _uniform(ks[7], (d, nb), math.sqrt(6.0 / (nb + d))),
+        "cls_b_b": jnp.zeros((nb,), jnp.float32),
+        "cls_pad_w": _uniform(ks[8], (d, 1), math.sqrt(6.0 / (1 + d))),
+        "cls_pad_b": jnp.zeros((1,), jnp.float32),
+        # torch Bilinear(1, d, d): fan_in = d*d, fan_out = 1*d
+        "D_a_w": _uniform(ks[9], (d, d), math.sqrt(6.0 / (d * d + d))),
+        "D_b_w": _uniform(ks[10], (d, d), math.sqrt(6.0 / (d * d + d))),
+    }
+    if not cfg.shared_item_embed:
+        params["embed_a"] = embed_table(ks[1])
+        params["embed_b"] = embed_table(ks[2])
+    if cfg.d_bias:
+        params["D_a_b"] = jnp.zeros((1,), jnp.float32)
+        params["D_b_b"] = jnp.zeros((1,), jnp.float32)
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

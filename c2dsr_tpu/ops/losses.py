@@ -1,0 +1,38 @@
+"""Loss primitives: masked large-vocab cross-entropy and BCE-with-logits.
+
+The recommendation CE runs over ~30k-64k class logits; it is expressed with
+logsumexp + target gather so XLA keeps it fused and never materializes a
+softmax table.  A vocab-sharded variant (distributed logsumexp over the model
+axis) lives in ``parallel/sharded_loss.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_cross_entropy(logits: jax.Array, targets: jax.Array,
+                         ignore_index: int) -> tuple[jax.Array, jax.Array]:
+    """CE with ignore_index, torch ``F.cross_entropy`` mean semantics.
+
+    logits: [..., C]; targets: [...] int.  Returns (mean_loss, n_valid):
+    mean over non-ignored targets (0 if none), plus the valid count —
+    callers re-weight with it (trainer.py:147-149 count-reweighting).
+    """
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(
+        logits, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    mask = (targets != ignore_index).astype(jnp.float32)
+    n_valid = jnp.sum(mask)
+    total = jnp.sum((lse - tgt) * mask)
+    mean = total / jnp.maximum(n_valid, 1.0)
+    return mean, n_valid
+
+
+def bce_with_logits(logits: jax.Array, label_is_one: bool) -> jax.Array:
+    """Mean binary cross-entropy with logits against an all-ones or all-zeros
+    label tensor (trainer.py:113-117)."""
+    if label_is_one:
+        return jnp.mean(jax.nn.softplus(-logits))
+    return jnp.mean(jax.nn.softplus(logits))

@@ -1,0 +1,72 @@
+"""Sparse matrix-times-dense-table propagation (the GCN hot op).
+
+The reference runs ``torch.spmm(adj, h)`` over the FULL item table every
+training batch (models/encoders.py:42-48, trainer.py:48).  Here the graph is
+a row-sorted COO (see ``graph/build.py``) and propagation is expressed as a
+gather + weighted segment-sum, which XLA lowers to fused gather/scatter on
+TPU.  A Pallas CSR row-block kernel provides the TPU fast path for large
+tables (``ops/spmm_pallas.py``).
+
+All functions are pure and differentiable (gradients flow into ``h`` exactly
+as in the reference, where the loss backprops through the propagated table).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CooDevice(NamedTuple):
+    """Device-resident COO graph. rows sorted ascending; n static."""
+
+    rows: jax.Array   # int32 [nnz]
+    cols: jax.Array   # int32 [nnz]
+    vals: jax.Array   # float32 [nnz]
+    n: int            # static
+
+
+def device_graph(g) -> CooDevice:
+    """Upload a host CooGraph (graph/build.py) to device arrays.
+
+    Pads nnz to a multiple of 1024 with zero-weight self-loops on row/col 0
+    so downstream kernels see aligned shapes.
+    """
+    nnz = int(g.rows.shape[0])
+    pad = (-nnz) % 1024
+    rows = np.concatenate([g.rows, np.zeros(pad, np.int32)])
+    cols = np.concatenate([g.cols, np.zeros(pad, np.int32)])
+    vals = np.concatenate([g.vals, np.zeros(pad, np.float32)])
+    order = np.argsort(rows, kind="stable")
+    return CooDevice(rows=jnp.asarray(rows[order]), cols=jnp.asarray(cols[order]),
+                     vals=jnp.asarray(vals[order]), n=int(g.n))
+
+
+def spmm(graph: CooDevice, h: jax.Array) -> jax.Array:
+    """``adj @ h`` for a row-normalized COO adjacency.
+
+    h: [n, d] dense table.  Returns [n, d].
+    """
+    gathered = h[graph.cols] * graph.vals[:, None].astype(h.dtype)
+    return jax.ops.segment_sum(
+        gathered, graph.rows, num_segments=graph.n, indices_are_sorted=True)
+
+
+def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,
+                  dropout: float, rng: jax.Array | None) -> jax.Array:
+    """LightGCN-style propagation: mean of all layer outputs incl. the input
+    (models/encoders.py:42-48).  Dropout before each spmm in train mode.
+    """
+    h_sum = h
+    cur = h
+    for i in range(n_layers):
+        if rng is not None and dropout > 0.0:
+            key = jax.random.fold_in(rng, i)
+            keep = jax.random.bernoulli(key, 1.0 - dropout, cur.shape)
+            cur = jnp.where(keep, cur / (1.0 - dropout), 0.0).astype(cur.dtype)
+        cur = spmm(graph, cur)
+        h_sum = h_sum + cur
+    return h_sum / (n_layers + 1)

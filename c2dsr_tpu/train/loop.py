@@ -1,0 +1,117 @@
+"""Experiment driver: epoch loop, model selection, early stop.
+
+Reproduces main.py:100-148 — per epoch: train over all batches (graph
+propagation inside each step), validate with ranking, compute the improvement
+scalar, keep the test metrics from the best-validation epoch, early-stop
+after ``es_patience`` non-improving epochs.  Adds what the reference lacks:
+throughput counters, checkpoint save-on-best, resume.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c2dsr_tpu.config import Config, DataSpec
+from c2dsr_tpu import checkpoint as ckpt_mod
+from c2dsr_tpu import metrics as metrics_mod
+from c2dsr_tpu.data.pipeline import BatchIterator
+from c2dsr_tpu.evaluate import ranker
+from c2dsr_tpu.model import c2dsr, params as params_mod
+from c2dsr_tpu.noter import Noter
+from c2dsr_tpu.train import optim, step as step_mod
+
+
+class Experiment:
+    """Owns data splits, graphs, model state, and the jitted step functions."""
+
+    def __init__(self, cfg: Config, spec: DataSpec, graphs: c2dsr.Graphs,
+                 train_data: Dict[str, np.ndarray],
+                 val_data: Dict[str, np.ndarray],
+                 test_data: Dict[str, np.ndarray],
+                 noter: Optional[Noter] = None,
+                 ckpt_path: Optional[str] = None):
+        self.cfg, self.spec, self.graphs = cfg, spec, graphs
+        self.noter = noter
+        self.ckpt_path = ckpt_path
+        self.train_iter = BatchIterator(train_data, cfg.batch_size,
+                                        shuffle=True, seed=cfg.seed)
+        self.val_data, self.test_data = val_data, test_data
+        self.n_tr = self.train_iter.n
+
+        steps_per_epoch = max(len(self.train_iter), 1)
+        self.optimizer = optim.make_optimizer(cfg, steps_per_epoch)
+        key = jax.random.PRNGKey(cfg.seed)
+        k_init, self.k_step = jax.random.split(key)
+        params = params_mod.init_params(k_init, cfg, spec)
+        self.state = step_mod.init_state(params, self.optimizer)
+        self.train_step = step_mod.make_train_step(
+            cfg, spec, graphs, self.optimizer, self.k_step)
+        self.convolve_eval, self.rank_step = ranker.make_eval_fns(
+            cfg, spec, graphs)
+
+    # ----- phases ----------------------------------------------------------
+    def run_train_epoch(self):
+        t0 = time.time()
+        tot = np.zeros(3)
+        n = 0
+        for batch in self.train_iter.epoch():
+            self.state, aux = self.train_step(self.state, batch)
+            bs = batch["seq_share"].shape[0]
+            tot += np.array([float(aux["loss"]), float(aux["loss_rec"]),
+                             float(aux["loss_mi"])]) * bs
+            n += bs
+        dt = time.time() - t0
+        loss_tr, loss_rec, loss_mi = (tot / max(n, 1)).tolist()
+        if self.noter:
+            self.noter.log_train(loss_tr, loss_rec, loss_mi, dt,
+                                 examples_per_s=n / max(dt, 1e-9))
+        return loss_tr, loss_rec, loss_mi
+
+    def run_eval(self, data) -> tuple:
+        hi = self.convolve_eval(self.state.params)
+        return ranker.evaluate_split(self.state.params, hi, data,
+                                     self.rank_step, self.cfg)
+
+    # ----- full experiment -------------------------------------------------
+    def run(self) -> Dict[str, object]:
+        cfg = self.cfg
+        imp_val_best = -1.0
+        res_test_imp = [0.0] * 13
+        es_counter = 0
+        epoch = 0
+        for epoch in range(1, cfg.n_epoch + 1):
+            if self.noter:
+                self.noter.log_msg(f"\n[Epoch {epoch}]")
+            self.run_train_epoch()
+            ranks_a, ranks_b = self.run_eval(self.val_data)
+            res_val = metrics_mod.cal_score(ranks_a, ranks_b, cfg.benchmark)
+            if self.noter:
+                self.noter.log_evaluate("valid", res_val)
+
+            if res_val[0] > imp_val_best:
+                imp_val_best = res_val[0]
+                ranks_a, ranks_b = self.run_eval(self.test_data)
+                res_test_imp = metrics_mod.cal_score(ranks_a, ranks_b,
+                                                     cfg.benchmark)
+                if self.noter:
+                    self.noter.log_evaluate("test", res_test_imp)
+                if self.ckpt_path:
+                    ckpt_mod.save(self.ckpt_path, self.state)
+                es_counter = 0
+            else:
+                es_counter += 1
+                if self.noter:
+                    self.noter.log_msg(
+                        f"\t| es    | {es_counter} / {cfg.es_patience} |")
+                if es_counter >= cfg.es_patience:
+                    break
+
+        if self.noter:
+            self.noter.log_final_result(epoch, imp_val_best, res_test_imp)
+        return {"epoch": epoch, "imp_val_best": imp_val_best,
+                "res_test": res_test_imp}

@@ -1,0 +1,136 @@
+"""Jitted training step: the exact 6-term loss of the reference under jit.
+
+Loss structure (trainer.py:91-160):
+  infomax (4 BCE terms, trainer.py:96-119):
+      sim_a_pos = D_a(mean_a(hx),        mean_b(h_share))
+      sim_a_neg = D_a(mean_a(hx),        mean_a(share_tower(corrupt_a)))
+      sim_b_pos = D_b(mean_b(hy),        mean_a(h_share))
+      sim_b_neg = D_b(mean_b(hy),        mean_b(share_tower(corrupt_b)))
+    where mean_d pools with the domain-d ground-truth mask normalized per
+    row (trainer.py:85-89); safe because preprocessing drops users with an
+    all-zero mask (SURVEY.md quirk 10).
+  recommendation (last len_rec positions, trainer.py:122-154):
+      loss_share_a/b : CE(cat(cls_dom(h_share), cls_pad(h_share))),
+                       count-reweighted by n_valid/(len_rec*B)
+      loss_a/b       : CE(cat(cls_dom(h_share+h_dom), cls_pad(h_dom)))
+  total = lambda * rec + (1-lambda) * infomax   (trainer.py:156)
+
+The graph propagation runs INSIDE the step (per-batch, with dropout), as in
+trainer.py:48 — gradients flow through the propagated tables into the
+embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from c2dsr_tpu.config import Config, DataSpec
+from c2dsr_tpu.model import c2dsr
+from c2dsr_tpu.ops import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array          # int32 scalar
+
+
+def _pool_mask(gt_mask: jax.Array) -> jax.Array:
+    """gt_mask [B, L] 0/1 -> per-row mean weights (trainer.py:85-89)."""
+    m = gt_mask.astype(jnp.float32)
+    return m / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+
+
+def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
+            rng: jax.Array, cfg: Config, spec: DataSpec
+            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    r_gnn, r_fwd, r_neg_a, r_neg_b = jax.random.split(rng, 4)
+    hi = c2dsr.convolve_graph(params, graphs, cfg, spec, r_gnn)
+    h_share, hx, hy = c2dsr.forward(
+        params, hi, batch["seq_share"], batch["seq_share_a"],
+        batch["seq_share_b"], batch["pos"], batch["pos_a"], batch["pos_b"],
+        cfg, spec, r_fwd)
+
+    B = batch["seq_share"].shape[0]
+    mask_a = _pool_mask(batch["gt_mask_a"])[..., None]     # [B, L, 1]
+    mask_b = _pool_mask(batch["gt_mask_b"])[..., None]
+
+    hx_mean = jnp.sum(hx * mask_a, axis=1)
+    hy_mean = jnp.sum(hy * mask_b, axis=1)
+
+    h_neg_a = c2dsr.forward_share(params, hi, batch["seq_share_neg_a"],
+                                  batch["pos"], cfg, spec, r_neg_a)
+    h_neg_b = c2dsr.forward_share(params, hi, batch["seq_share_neg_b"],
+                                  batch["pos"], cfg, spec, r_neg_b)
+
+    d_a_b = params.get("D_a_b")
+    d_b_b = params.get("D_b_b")
+    sim_a_pos = c2dsr.discriminate(params["D_a_w"], d_a_b, hx_mean,
+                                   jnp.sum(h_share * mask_b, axis=1))
+    sim_a_neg = c2dsr.discriminate(params["D_a_w"], d_a_b, hx_mean,
+                                   jnp.sum(h_neg_a * mask_a, axis=1))
+    sim_b_pos = c2dsr.discriminate(params["D_b_w"], d_b_b, hy_mean,
+                                   jnp.sum(h_share * mask_a, axis=1))
+    sim_b_neg = c2dsr.discriminate(params["D_b_w"], d_b_b, hy_mean,
+                                   jnp.sum(h_neg_b * mask_b, axis=1))
+
+    loss_mi = (losses.bce_with_logits(sim_a_pos, True)
+               + losses.bce_with_logits(sim_a_neg, False)
+               + losses.bce_with_logits(sim_b_pos, True)
+               + losses.bce_with_logits(sim_b_neg, False))
+
+    # --- recommendation loss over the last len_rec positions ---------------
+    R = cfg.len_rec
+    hs = h_share[:, -R:, :]
+    ha = hx[:, -R:, :]
+    hb = hy[:, -R:, :]
+    gt_share_a = batch["gt_share_a"][:, -R:]
+    gt_share_b = batch["gt_share_b"][:, -R:]
+    gt_a = batch["gt_a"][:, -R:]
+    gt_b = batch["gt_b"][:, -R:]
+
+    na, nb = spec.n_item_a, spec.n_item_b
+
+    def scores(head, h_cls, h_pad):
+        return jnp.concatenate(
+            [head(params, h_cls), c2dsr.classify_pad(params, h_pad)], axis=-1)
+
+    ce = losses.masked_cross_entropy
+    l_share_a, n_share_a = ce(scores(c2dsr.classify_a, hs, hs), gt_share_a, na)
+    l_share_b, n_share_b = ce(scores(c2dsr.classify_b, hs, hs), gt_share_b, nb)
+    denom = float(R) * B
+    loss_share = (l_share_a * n_share_a / denom
+                  + l_share_b * n_share_b / denom)
+
+    l_a, _ = ce(scores(c2dsr.classify_a, hs + ha, ha), gt_a, na)
+    l_b, _ = ce(scores(c2dsr.classify_b, hs + hb, hb), gt_b, nb)
+    loss_rec = loss_share + l_a + l_b
+
+    loss = cfg.lambda_loss * loss_rec + (1.0 - cfg.lambda_loss) * loss_mi
+    aux = {"loss": loss, "loss_rec": loss_rec, "loss_mi": loss_mi}
+    return loss, aux
+
+
+def make_train_step(cfg: Config, spec: DataSpec, graphs: c2dsr.Graphs,
+                    optimizer: optax.GradientTransformation, base_rng: jax.Array):
+    """Build the jitted train step.  graphs is closed over (device-resident)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        rng = jax.random.fold_in(base_rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, graphs, batch, rng, cfg, spec)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def init_state(params, optimizer) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
