@@ -85,6 +85,12 @@ class Config:
     # Eval protocol: "sampled" = 999 negatives (reference default),
     # "full" = full-itemset ranking (the headline mode of this framework).
     eval_mode: str = "sampled"
+    # Embedding-table rows and classifier output dims are padded up to this
+    # multiple: keeps the last dims tileable on the MXU and makes row/vocab
+    # sharding divisible by the model mesh axis.  Padded rows are never
+    # indexed; padded logit columns are masked to -inf in loss and ranking.
+    # Use >= lcm(8, mesh_model) (128 covers every practical mesh).
+    vocab_pad_multiple: int = 8
 
     # --- Reference bug-parity switches (SURVEY.md section 2 quirks) --------
     # Quirk 1: reference inverts the key-padding mask (encoders.py:33): real
@@ -128,3 +134,17 @@ class DataSpec:
     @property
     def idx_pad(self) -> int:
         return self.n_item - 1
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def padded_sizes(cfg: "Config", spec: DataSpec):
+    """(n_item_p, n_item_a_p, n_item_b_p): table rows / classifier output
+    dims rounded up to cfg.vocab_pad_multiple.  Padding rows/columns sit at
+    the END of each array, beyond every real id, so the shared id space
+    (A = [0, na), B = [na, na+nb), pad = n_item-1) is untouched."""
+    m = cfg.vocab_pad_multiple
+    return (round_up(spec.n_item, m), round_up(spec.n_item_a, m),
+            round_up(spec.n_item_b, m))

@@ -54,9 +54,15 @@ def _rank_kernel(params, hi, batch, cfg: Config, spec: DataSpec,
                  domain: str, mode: str) -> jax.Array:
     h = _last_hidden(params, hi, batch, cfg, spec, domain)
     if domain == "a":
-        scores = c2dsr.classify_a(params, h)          # [B, n_item_a]
+        scores = c2dsr.classify_a(params, h)          # [B, n_item_a_padded]
+        n_real = spec.n_item_a
     else:
-        scores = c2dsr.classify_b(params, h)          # [B, n_item_b]
+        scores = c2dsr.classify_b(params, h)          # [B, n_item_b_padded]
+        n_real = spec.n_item_b
+    if scores.shape[-1] > n_real:
+        # vocab-padding columns must never outrank the ground truth
+        scores = jnp.where(jnp.arange(scores.shape[-1]) < n_real,
+                           scores, -jnp.inf)
     gt = batch["gt_last"].astype(jnp.int32)
     gt_score = jnp.take_along_axis(scores, gt[:, None], axis=1)
     if mode == "sampled":

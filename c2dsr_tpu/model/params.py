@@ -69,22 +69,34 @@ def init_encoder_params(key: jax.Array, cfg: Config, len_max: int
 
 def init_params(key: jax.Array, cfg: Config, spec: DataSpec) -> Dict[str, Any]:
     d = cfg.d_latent
-    n, na, nb = spec.n_item, spec.n_item_a, spec.n_item_b
+    na, nb = spec.n_item_a, spec.n_item_b
+    # padded table rows / classifier output dims (config.padded_sizes):
+    # padding lives past every real id; rows init to zero and never receive
+    # gradient, padded logit columns are masked downstream.
+    from c2dsr_tpu.config import padded_sizes
+    n_p, na_p, nb_p = padded_sizes(cfg, spec)
     ks = jax.random.split(key, 16)
 
     def embed_table(k):
-        t = jax.random.normal(k, (n, d), jnp.float32)
-        return t.at[spec.idx_pad].set(0.0)
+        t = jax.random.normal(k, (spec.n_item, d), jnp.float32)
+        t = t.at[spec.idx_pad].set(0.0)
+        return jnp.concatenate(
+            [t, jnp.zeros((n_p - spec.n_item, d), jnp.float32)])
+
+    def cls(k, n_real, n_pad):
+        w = _uniform(k, (d, n_real), math.sqrt(6.0 / (n_real + d)))
+        return jnp.concatenate(
+            [w, jnp.zeros((d, n_pad - n_real), jnp.float32)], axis=1)
 
     params: Dict[str, Any] = {
         "embed_share": embed_table(ks[0]),
         "attn_share": init_encoder_params(ks[3], cfg, spec.len_max),
         "attn_a": init_encoder_params(ks[4], cfg, spec.len_max),
         "attn_b": init_encoder_params(ks[5], cfg, spec.len_max),
-        "cls_a_w": _uniform(ks[6], (d, na), math.sqrt(6.0 / (na + d))),
-        "cls_a_b": jnp.zeros((na,), jnp.float32),
-        "cls_b_w": _uniform(ks[7], (d, nb), math.sqrt(6.0 / (nb + d))),
-        "cls_b_b": jnp.zeros((nb,), jnp.float32),
+        "cls_a_w": cls(ks[6], na, na_p),
+        "cls_a_b": jnp.zeros((na_p,), jnp.float32),
+        "cls_b_w": cls(ks[7], nb, nb_p),
+        "cls_b_b": jnp.zeros((nb_p,), jnp.float32),
         "cls_pad_w": _uniform(ks[8], (d, 1), math.sqrt(6.0 / (1 + d))),
         "cls_pad_b": jnp.zeros((1,), jnp.float32),
         # torch Bilinear(1, d, d): fan_in = d*d, fan_out = 1*d

@@ -30,6 +30,32 @@ def masked_cross_entropy(logits: jax.Array, targets: jax.Array,
     return mean, n_valid
 
 
+def rec_cross_entropy(dom_logits: jax.Array, pad_logit: jax.Array,
+                      targets: jax.Array, n_real: int
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Recommendation CE over [domain classes | pad class], torch
+    ``F.cross_entropy(..., ignore_index=n_real)`` mean semantics.
+
+    dom_logits: [..., C_pad] where C_pad >= n_real (columns past n_real are
+    vocab padding, masked to -1e9 here); pad_logit: [..., 1] (the appended
+    ``classifier_pad`` logit, trainer.py:131-140); targets: [...] with
+    value n_real meaning "ignored".  Returns (mean_loss, n_valid).
+    """
+    C_pad = dom_logits.shape[-1]
+    if C_pad > n_real:
+        col = jnp.arange(C_pad)
+        dom_logits = jnp.where(col < n_real, dom_logits, -1e9)
+    logits = jnp.concatenate([dom_logits, pad_logit], axis=-1)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    # ignored targets (== n_real) gather a masked column; zeroed by the mask
+    tgt = jnp.take_along_axis(
+        logits, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    mask = (targets != n_real).astype(jnp.float32)
+    n_valid = jnp.sum(mask)
+    mean = jnp.sum((lse - tgt) * mask) / jnp.maximum(n_valid, 1.0)
+    return mean, n_valid
+
+
 def bce_with_logits(logits: jax.Array, label_is_one: bool) -> jax.Array:
     """Mean binary cross-entropy with logits against an all-ones or all-zeros
     label tensor (trainer.py:113-117)."""

@@ -51,8 +51,11 @@ def spmm(graph: CooDevice, h: jax.Array) -> jax.Array:
     h: [n, d] dense table.  Returns [n, d].
     """
     gathered = h[graph.cols] * graph.vals[:, None].astype(h.dtype)
+    # num_segments follows the (possibly padded) table, not graph.n: padded
+    # rows simply receive zero (no edges reference them).
     return jax.ops.segment_sum(
-        gathered, graph.rows, num_segments=graph.n, indices_are_sorted=True)
+        gathered, graph.rows, num_segments=h.shape[0],
+        indices_are_sorted=True)
 
 
 def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,

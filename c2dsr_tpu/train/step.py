@@ -95,19 +95,20 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
 
     na, nb = spec.n_item_a, spec.n_item_b
 
-    def scores(head, h_cls, h_pad):
-        return jnp.concatenate(
-            [head(params, h_cls), c2dsr.classify_pad(params, h_pad)], axis=-1)
-
-    ce = losses.masked_cross_entropy
-    l_share_a, n_share_a = ce(scores(c2dsr.classify_a, hs, hs), gt_share_a, na)
-    l_share_b, n_share_b = ce(scores(c2dsr.classify_b, hs, hs), gt_share_b, nb)
+    ce = losses.rec_cross_entropy
+    pad_s = c2dsr.classify_pad(params, hs)
+    l_share_a, n_share_a = ce(c2dsr.classify_a(params, hs), pad_s,
+                              gt_share_a, na)
+    l_share_b, n_share_b = ce(c2dsr.classify_b(params, hs), pad_s,
+                              gt_share_b, nb)
     denom = float(R) * B
     loss_share = (l_share_a * n_share_a / denom
                   + l_share_b * n_share_b / denom)
 
-    l_a, _ = ce(scores(c2dsr.classify_a, hs + ha, ha), gt_a, na)
-    l_b, _ = ce(scores(c2dsr.classify_b, hs + hb, hb), gt_b, nb)
+    l_a, _ = ce(c2dsr.classify_a(params, hs + ha),
+                c2dsr.classify_pad(params, ha), gt_a, na)
+    l_b, _ = ce(c2dsr.classify_b(params, hs + hb),
+                c2dsr.classify_pad(params, hb), gt_b, nb)
     loss_rec = loss_share + l_a + l_b
 
     loss = cfg.lambda_loss * loss_rec + (1.0 - cfg.lambda_loss) * loss_mi

@@ -5,13 +5,16 @@ Must run before jax is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The TPU plugin in this image ignores the JAX_PLATFORMS env var; the config
+# update is what actually forces the CPU backend (with 8 virtual devices).
+jax.config.update("jax_platforms", "cpu")
 
 # Numerics tests compare against float64 numpy / torch oracles; this JAX
 # build defaults to low-precision (bf16-style) matmuls even on CPU.
