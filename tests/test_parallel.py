@@ -1,0 +1,181 @@
+"""Distributed-op correctness on a fake 8-device CPU pod.
+
+Each sharded op must match its single-device reference bit-for-bit (or to
+f32 tolerance where reduction order differs) — the substitute for multi-host
+testing the reference never had (SURVEY.md section 4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from c2dsr_tpu.parallel import embed, mesh as mesh_mod, sharded_eval, sharded_loss
+from c2dsr_tpu.ops import losses
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 (virtual) devices")
+
+D = 16
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    n = len(jax.devices())
+    return mesh_mod.make_mesh(n_data=n // 4, n_model=4)
+
+
+def _table(n_rows, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), (n_rows, D))
+
+
+def test_sharded_lookup_matches_gather(mesh):
+    table = _table(64)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 64, size=(6, 5)), jnp.int32)
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    got = embed.sharded_lookup(tbl, ids, mesh)
+    np.testing.assert_allclose(np.array(got), np.array(table[ids]), atol=1e-6)
+
+
+def test_sharded_lookup_grad_matches(mesh):
+    table = _table(64)
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, 64, size=(40,)), jnp.int32)
+    # duplicate ids must accumulate gradient, like plain gather
+    ids = jnp.concatenate([ids, ids[:10]])
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+
+    g1 = jax.grad(lambda t: jnp.sum(embed.sharded_lookup(t, ids, mesh) ** 2)
+                  )(tbl)
+    g2 = jax.grad(lambda t: jnp.sum(t[ids] ** 2))(table)
+    np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-5)
+
+
+def test_all_to_all_lookup_matches(mesh):
+    table = _table(64, seed=2)
+    n_total = 64
+    ids = np.random.default_rng(2).integers(0, 64, size=(n_total,))
+    ids_j = jax.device_put(jnp.asarray(ids, jnp.int32),
+                           NamedSharding(mesh, P("model")))
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    got = embed.all_to_all_lookup(tbl, ids_j, mesh, capacity_factor=2.0)
+    np.testing.assert_allclose(np.array(got), np.array(table)[ids], atol=1e-6)
+
+
+def test_all_to_all_lookup_overflow_fallback(mesh):
+    """All ids hit ONE owner shard -> every bucket overflows its capacity;
+    the psum fallback must still deliver exact rows."""
+    table = _table(64, seed=3)
+    ids = np.full((32,), 3, dtype=np.int32)       # all owned by shard 0
+    ids_j = jax.device_put(jnp.asarray(ids),
+                           NamedSharding(mesh, P("model")))
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    got = embed.all_to_all_lookup(tbl, ids_j, mesh, capacity_factor=0.25)
+    np.testing.assert_allclose(np.array(got), np.array(table)[ids], atol=1e-6)
+
+
+def test_sharded_spmm_matches_dense(mesh):
+    rng = np.random.default_rng(3)
+    n = 64
+    nnz = 200
+    rows = np.sort(rng.integers(0, n, nnz)).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    table = _table(n, seed=4)
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    got = embed.sharded_spmm(jnp.asarray(rows), jnp.asarray(cols),
+                             jnp.asarray(vals), tbl, mesh)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(np.array(got), dense @ np.array(table),
+                               atol=1e-4)
+
+
+def test_sharded_ce_matches_local(mesh):
+    rng = np.random.default_rng(4)
+    B, R, V_p, n_real = 8, 4, 32, 29
+    h = jnp.asarray(rng.normal(size=(B, R, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D, V_p)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V_p,)), jnp.float32)
+    pad = jnp.asarray(rng.normal(size=(B, R, 1)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, n_real + 1, size=(B, R)), jnp.int32)
+
+    w_s = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("model")))
+    got, got_n = sharded_loss.sharded_rec_cross_entropy(
+        h, w_s, b_s, pad, tgt, n_real, mesh)
+
+    want, want_n = losses.rec_cross_entropy(
+        jnp.einsum("brd,dv->brv", h, w) + b, pad, tgt, n_real)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    assert int(got_n) == int(want_n)
+
+
+def test_sharded_ce_grad_matches(mesh):
+    rng = np.random.default_rng(5)
+    B, R, V_p, n_real = 4, 3, 32, 29
+    h = jnp.asarray(rng.normal(size=(B, R, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D, V_p)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V_p,)), jnp.float32)
+    pad = jnp.asarray(rng.normal(size=(B, R, 1)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, n_real, size=(B, R)), jnp.int32)
+    w_s = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("model")))
+
+    g1 = jax.grad(lambda ww: sharded_loss.sharded_rec_cross_entropy(
+        h, ww, b_s, pad, tgt, n_real, mesh)[0])(w_s)
+    g2 = jax.grad(lambda ww: losses.rec_cross_entropy(
+        jnp.einsum("brd,dv->brv", h, ww) + b, pad, tgt, n_real)[0])(w)
+    np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-5)
+
+
+def test_sharded_full_rank_matches(mesh):
+    rng = np.random.default_rng(6)
+    B, V_p, n_real = 16, 32, 30
+    h = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D, V_p)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V_p,)), jnp.float32)
+    gt = jnp.asarray(rng.integers(0, n_real, size=(B,)), jnp.int32)
+    w_s = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("model")))
+    got = sharded_eval.sharded_full_rank(h, w_s, b_s, gt, n_real, mesh)
+
+    scores = np.array(h @ w + b)[:, :n_real]
+    want = (scores > scores[np.arange(B), np.array(gt)][:, None]).sum(1) + 1
+    np.testing.assert_array_equal(np.array(got), want)
+
+
+def test_sharded_topk_matches(mesh):
+    rng = np.random.default_rng(7)
+    B, V_p, n_real, k = 6, 32, 30, 5
+    h = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D, V_p)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V_p,)), jnp.float32)
+    w_s = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("model")))
+    vals, idx = sharded_eval.sharded_topk(h, w_s, b_s, k, n_real, mesh)
+
+    scores = np.array(h @ w + b)[:, :n_real]
+    want_idx = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.array(vals), np.take_along_axis(scores, want_idx, 1), rtol=1e-5)
+    np.testing.assert_array_equal(np.array(idx), want_idx)
+
+
+def test_dp_gradient_matches_single_device(mesh):
+    """Data-parallel grad (batch sharded over 'data') == single-device grad."""
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.normal(size=(D, D)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(16, D)), jnp.float32)
+
+    def loss(w_, x_):
+        return jnp.mean((x_ @ w_) ** 2)
+
+    g1 = jax.grad(loss)(w, x)
+    x_s = jax.device_put(x, mesh_mod.batch_sharding(mesh))
+    w_r = jax.device_put(w, mesh_mod.replicated(mesh))
+    g2 = jax.jit(jax.grad(loss))(w_r, x_s)
+    np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-6)
