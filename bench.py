@@ -102,6 +102,31 @@ def main():
     dt = time.time() - t0
     ex_per_s = n_steps * BATCH / dt
 
+    # --- full-itemset eval throughput (items scored+ranked per second) ----
+    from c2dsr_tpu.data import preprocess, synthetic
+    from c2dsr_tpu.evaluate import ranker
+
+    eval_seqs = synthetic.generate_sequences(spec, 2048, seed=7)
+    ev = preprocess.preprocess_evaluate(eval_seqs, spec, n_neg_sample=99,
+                                        seed=7)
+    convolve_eval, rank_step = ranker.make_eval_fns(cfg, spec, graphs)
+    hi = convolve_eval(state.params)
+    groups = ranker.partition_by_domain(ev)
+    eb = {}
+    for dom in ("a", "b"):
+        n_dom = spec.n_item_a if dom == "a" else spec.n_item_b
+        chunk, _ = next(iter(ranker._batches(groups[dom], 1024)))
+        chunk = {k: jnp.asarray(v) for k, v in chunk.items()}
+        r = rank_step(state.params, hi, chunk, dom, "full")   # compile
+        jax.block_until_ready(r)
+        t0 = time.time()
+        for _ in range(10):
+            r = rank_step(state.params, hi, chunk, dom, "full")
+        jax.block_until_ready(r)
+        eb[dom] = (10 * 1024) / (time.time() - t0), n_dom
+    eval_ex_per_s = eb["a"][0] * 0.5 + eb["b"][0] * 0.5
+    eval_items_per_s = (eb["a"][0] * eb["a"][1] + eb["b"][0] * eb["b"][1]) / 2
+
     vs = None
     base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
@@ -109,6 +134,20 @@ def main():
         with open(base_file) as f:
             base = json.load(f)
         vs = ex_per_s / base["examples_per_s"]
+
+    details = {
+        "train_examples_per_s_chip": round(ex_per_s, 1),
+        "train_step_ms": round(dt / n_steps * 1000, 2),
+        "eval_full_rank_examples_per_s": round(eval_ex_per_s, 1),
+        "eval_full_rank_items_per_s": round(eval_items_per_s, 1),
+        "config": {"n_item": spec.n_item, "d": cfg.d_latent,
+                   "batch": BATCH, "len_max": LEN_MAX},
+        "baseline_examples_per_s_torch_cpu": (
+            base["examples_per_s"] if vs else None),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=1)
 
     print(json.dumps({
         "metric": "train_examples_per_s_chip",

@@ -38,21 +38,22 @@ class Propagated(NamedTuple):
     b: jax.Array
 
 
-def _pad_masked(table: jax.Array, idx_pad: int) -> jax.Array:
-    """Zero the pad row (value and gradient)."""
-    n = table.shape[0]
-    mask = (jnp.arange(n) != idx_pad).astype(table.dtype)
-    return table * mask[:, None]
-
-
 def embedding_tables(params: Dict[str, Any], cfg: Config, spec: DataSpec
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    share = _pad_masked(params["embed_share"], spec.idx_pad)
+    """Raw tables (pad-row zeroing happens at lookup sites, see _tower).
+
+    The pad row is zero at init and never receives gradient: lookups mask
+    their result by ``seq == idx_pad`` (zeroing the pulled row AND its
+    gradient), and the graph never references the pad id (sequences enter
+    graph/build.py unpadded), so GCN backprop cannot reach it either.
+    Decoupled weight decay of an exactly-zero row is zero, closing the loop
+    — torch ``padding_idx`` semantics (models/C2DSR.py:20) without touching
+    all n_item rows every step.
+    """
+    share = params["embed_share"]
     if cfg.shared_item_embed:
         return share, share, share
-    return (share,
-            _pad_masked(params["embed_a"], spec.idx_pad),
-            _pad_masked(params["embed_b"], spec.idx_pad))
+    return share, params["embed_a"], params["embed_b"]
 
 
 def convolve_graph(params: Dict[str, Any], graphs: Graphs, cfg: Config,
@@ -74,9 +75,23 @@ def convolve_graph(params: Dict[str, Any], graphs: Graphs, cfg: Config,
 
 def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
            rng: Optional[jax.Array]) -> jax.Array:
-    """(propagated + raw) lookup x sqrt(d) -> attention tower."""
-    h = (hi[seq] + raw_table[seq]) * (cfg.d_latent ** 0.5)
-    h = h.astype(jnp.dtype(cfg.compute_dtype))
+    """(propagated + raw) lookup x sqrt(d) -> attention tower.
+
+    The lookup result is masked where seq == idx_pad: zeroes the pad row's
+    contribution and kills the gradient into it (padding_idx semantics, see
+    embedding_tables)."""
+    real = (seq != spec.idx_pad)[..., None]
+    if cfg.bug_inverted_padding_mask:
+        # reference-parity mode: pads ARE attended (encoders.py:33), and
+        # torch padding_idx only guards the direct embedding path — the
+        # GCN-propagated row hi[pad] is looked up unguarded and its pad row
+        # can drift via the propagation identity term.  Mirror that.
+        h = (hi[seq] + jnp.where(real, raw_table[seq], 0.0))
+    else:
+        # correct masking: nothing downstream reads pad rows, so the whole
+        # lookup (and its gradient) is zeroed at pad positions.
+        h = jnp.where(real, hi[seq] + raw_table[seq], 0.0)
+    h = (h * (cfg.d_latent ** 0.5)).astype(jnp.dtype(cfg.compute_dtype))
     out = enc.encode_sequence(
         seq, h, pos, attn_params, idx_pad=spec.idx_pad, n_head=cfg.n_head,
         dropout=cfg.dropout_attn, rng=rng, norm_first=cfg.norm_first,

@@ -1,0 +1,305 @@
+"""Fused linear + softmax cross-entropy Pallas kernel (the training hot op).
+
+The recommendation loss scores every position against the full domain
+itemset (trainer.py:131-154): at Food-Kitchen scale the logits tensor is
+[B*len_rec, ~30k-35k] — XLA materializes it to HBM in forward AND saves it
+for backward, making the CE heads the dominant step cost (profiled at ~22ms
+of a 52ms step).  This kernel never materializes logits:
+
+* forward: grid (rows/Bn, vocab/Bv); each row block keeps flash-style
+  running (max, sumexp) accumulators in VMEM scratch across the vocab axis,
+  gathers the target logit with a one-hot match, and folds the appended
+  pad-class logit (trainer.py:131-140) into the normalizer at the last
+  vocab block.  Outputs per-row (lse, target_logit); the masked mean and
+  count-reweighting stay outside in plain JAX.
+* backward: two matmul-shaped kernels recompute the logit blocks (cheaper
+  than saving them): dh = sum_j (dlse*P + dt*onehot) @ W_j^T and
+  dW_j/db_j = sum_i h_i^T @ (dlse*P + dt*onehot).
+
+Vocab padding convention: callers pass a bias with -1e9 on padded columns
+(``mask_bias``), so padded classes vanish from the softmax with no masking
+inside the kernel.  Matmuls run in bf16 with f32 accumulation — the MXU
+fast path, matching XLA's default precision.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def mask_bias(b: jax.Array, n_real: int, v_pad: int) -> jax.Array:
+    """Bias vector with -1e9 on vocab-padding columns, shaped [1, V_pad]."""
+    b = jnp.pad(b, (0, v_pad - b.shape[0]))
+    col = jnp.arange(v_pad)
+    return jnp.where(col < n_real, b, NEG)[None, :].astype(jnp.float32)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(h_ref, w_ref, b_ref, pad_ref, tgt_ref,
+                lse_ref, tlog_ref, m_sc, s_sc, t_sc, *, bv: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG)
+        s_sc[:] = jnp.zeros_like(s_sc)
+        t_sc[:] = jnp.zeros_like(t_sc)
+
+    logits = _dot(h_ref[:], w_ref[:]) + b_ref[:]          # [Bn, Bv]
+
+    # target gather via one-hot match on global column ids
+    col = j * bv + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    match = col == tgt_ref[:]                              # [Bn, Bv]
+    t_sc[:] = t_sc[:] + jnp.sum(jnp.where(match, logits, 0.0), axis=1,
+                                keepdims=True)
+
+    m_new = jnp.maximum(m_sc[:], jnp.max(logits, axis=1, keepdims=True))
+    s_sc[:] = (s_sc[:] * jnp.exp(m_sc[:] - m_new)
+               + jnp.sum(jnp.exp(logits - m_new), axis=1, keepdims=True))
+    m_sc[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _():
+        # fold the appended pad-class logit into the normalizer
+        p = pad_ref[:]
+        m_fin = jnp.maximum(m_sc[:], p)
+        s_fin = s_sc[:] * jnp.exp(m_sc[:] - m_fin) + jnp.exp(p - m_fin)
+        lse_ref[:] = m_fin + jnp.log(s_fin)
+        tlog_ref[:] = t_sc[:]
+
+
+def _bwd_dh_kernel(h_ref, w_ref, b_ref, lse_ref, dlse_ref, dt_ref, tgt_ref,
+                   dh_ref, acc_sc, *, bv: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    logits = _dot(h_ref[:], w_ref[:]) + b_ref[:]
+    p = jnp.exp(logits - lse_ref[:])                       # softmax probs
+    col = j * bv + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    match = col == tgt_ref[:]
+    dlogits = dlse_ref[:] * p + jnp.where(match, dt_ref[:], 0.0)
+    acc_sc[:] = acc_sc[:] + jax.lax.dot_general(
+        dlogits.astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        dh_ref[:] = acc_sc[:]
+
+
+def _bwd_dw_kernel(h_ref, w_ref, b_ref, lse_ref, dlse_ref, dt_ref, tgt_ref,
+                   dw_ref, db_ref, dw_sc, db_sc, *, bv: int):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_sc[:] = jnp.zeros_like(dw_sc)
+        db_sc[:] = jnp.zeros_like(db_sc)
+
+    logits = _dot(h_ref[:], w_ref[:]) + b_ref[:]
+    p = jnp.exp(logits - lse_ref[:])
+    col = j * bv + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    match = col == tgt_ref[:]
+    dlogits = dlse_ref[:] * p + jnp.where(match, dt_ref[:], 0.0)
+    dw_sc[:] = dw_sc[:] + jax.lax.dot_general(
+        h_ref[:].astype(jnp.bfloat16), dlogits.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_sc[:] = db_sc[:] + jnp.sum(dlogits, axis=0, keepdims=True)
+
+    @pl.when(i == ni - 1)
+    def _():
+        dw_ref[:] = dw_sc[:]
+        db_ref[:] = db_sc[:]
+
+
+def _pick_blocks(n: int, v: int) -> Tuple[int, int]:
+    bn = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
+    bv = 1024 if v % 1024 == 0 else 512 if v % 512 == 0 else 256
+    if v % bv != 0:
+        raise ValueError(f"vocab dim {v} must be a multiple of 256; "
+                         "pad W/bias before calling the kernel")
+    return bn, bv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_ce(h, w, b_masked, pad_logit, targets, interpret=False):
+    """Per-row (lse, target_logit) of softmax over [h@w + b | pad_logit].
+
+    h: [N, d] f32 (N % 128 == 0, pad rows with target = any masked col);
+    w: [d, V] f32 (V % 256 == 0); b_masked: [1, V] with -1e9 on padding
+    (see ``mask_bias``); pad_logit: [N, 1]; targets: [N, 1] int32 (global
+    class id; rows whose loss is masked can point anywhere).
+    """
+    lse, tlog = _fused_ce_fwd_impl(h, w, b_masked, pad_logit, targets,
+                                   interpret)
+    return lse, tlog
+
+
+def _fused_ce_fwd_impl(h, w, b_masked, pad_logit, targets, interpret):
+    n, d = h.shape
+    v = w.shape[1]
+    bn, bv = _pick_blocks(n, v)
+    grid = (n // bn, v // bv)
+    kernel = functools.partial(_fwd_kernel, bv=bv)
+    lse, tlog = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((d, bv), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bv), lambda i, j: (0, j)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, 1), jnp.float32),
+            pltpu.VMEM((bn, 1), jnp.float32),
+            pltpu.VMEM((bn, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * v * d, bytes_accessed=4 * (n * d + d * v + n * 4),
+            transcendentals=n * v),
+        interpret=interpret,
+    )(h, w, b_masked, pad_logit, targets)
+    return lse, tlog
+
+
+def _fused_ce_fwd(h, w, b_masked, pad_logit, targets, interpret):
+    lse, tlog = _fused_ce_fwd_impl(h, w, b_masked, pad_logit, targets,
+                                   interpret)
+    return (lse, tlog), (h, w, b_masked, pad_logit, targets, lse)
+
+
+def _fused_ce_bwd(interpret, res, cts):
+    h, w, b_masked, pad_logit, targets, lse = res
+    dlse, dt = cts
+    n, d = h.shape
+    v = w.shape[1]
+    bn, bv = _pick_blocks(n, v)
+
+    dh = pl.pallas_call(
+        functools.partial(_bwd_dh_kernel, bv=bv),
+        grid=(n // bn, v // bv),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((d, bv), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bv), lambda i, j: (0, j)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * v * d, bytes_accessed=4 * (n * d * 2 + d * v),
+            transcendentals=n * v),
+        interpret=interpret,
+    )(h, w, b_masked, lse, dlse, dt, targets)
+
+    dw, db = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, bv=bv),
+        grid=(v // bv, n // bn),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda j, i: (i, 0)),
+            pl.BlockSpec((d, bv), lambda j, i: (0, j)),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j)),
+            pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((d, bv), lambda j, i: (0, j)),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, v), jnp.float32),
+            jax.ShapeDtypeStruct((1, v), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, bv), jnp.float32),
+            pltpu.VMEM((1, bv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * v * d, bytes_accessed=4 * (n * d + d * v * 2),
+            transcendentals=n * v),
+        interpret=interpret,
+    )(h, w, b_masked, lse, dlse, dt, targets)
+
+    # pad-class logit gradient: softmax weight of the pad class, elementwise
+    dpad = dlse * jnp.exp(pad_logit - lse)
+    return dh, dw, db, dpad, None
+
+
+fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
+
+
+def fused_rec_ce_rows(h, w, b, pad_logit, targets, n_real: int,
+                      interpret: bool = False) -> jax.Array:
+    """Fused counterpart of ops.losses.rec_ce_row_losses: per-position
+    masked CE terms [B, R] without materializing logits."""
+    B, R, d = h.shape
+    n = B * R
+    # pad vocab to a 1024 multiple (kernel block constraint); padded columns
+    # get zero weights and a -1e9 bias, vanishing from the softmax
+    v = -(-w.shape[1] // 1024) * 1024
+    if v != w.shape[1]:
+        w = jnp.concatenate(
+            [w, jnp.zeros((d, v - w.shape[1]), w.dtype)], axis=1)
+    n_pad = (-n) % 128
+    h2 = h.reshape(n, d)
+    t2 = targets.reshape(n, 1).astype(jnp.int32)
+    p2 = pad_logit.reshape(n, 1).astype(jnp.float32)
+    if n_pad:
+        h2 = jnp.concatenate([h2, jnp.zeros((n_pad, d), h2.dtype)])
+        t2 = jnp.concatenate([t2, jnp.full((n_pad, 1), n_real, jnp.int32)])
+        p2 = jnp.concatenate([p2, jnp.zeros((n_pad, 1), jnp.float32)])
+    bm = mask_bias(b, n_real, v)
+    lse, tlog = fused_ce(h2.astype(jnp.float32), w.astype(jnp.float32),
+                         bm, p2, t2, interpret)
+    lse = lse[:n, 0].reshape(B, R)
+    tlog = tlog[:n, 0].reshape(B, R)
+    mask = (targets != n_real).astype(jnp.float32)
+    return (lse - tlog) * mask
+
+
+def fused_rec_cross_entropy(h, w, b, pad_logit, targets, n_real: int,
+                            interpret: bool = False):
+    """Drop-in fused replacement for ops.losses.rec_cross_entropy:
+    (mean_loss, n_valid)."""
+    from c2dsr_tpu.ops import losses
+    rows = fused_rec_ce_rows(h, w, b, pad_logit, targets, n_real, interpret)
+    return losses.ce_mean_from_rows(rows, targets, n_real)

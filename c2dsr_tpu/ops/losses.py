@@ -56,6 +56,30 @@ def rec_cross_entropy(dom_logits: jax.Array, pad_logit: jax.Array,
     return mean, n_valid
 
 
+def rec_ce_row_losses(dom_logits: jax.Array, pad_logit: jax.Array,
+                      targets: jax.Array, n_real: int) -> jax.Array:
+    """Per-position CE terms (lse - target_logit), already masked to 0 at
+    ignored positions — callers do their own mean/count reductions (the
+    reference mixes mean-CE and count-reweighted terms, trainer.py:143-154).
+    """
+    C_pad = dom_logits.shape[-1]
+    if C_pad > n_real:
+        col = jnp.arange(C_pad)
+        dom_logits = jnp.where(col < n_real, dom_logits, -1e9)
+    logits = jnp.concatenate([dom_logits, pad_logit], axis=-1)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(
+        logits, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    mask = (targets != n_real).astype(jnp.float32)
+    return (lse - tgt) * mask
+
+
+def ce_mean_from_rows(rows: jax.Array, targets: jax.Array, n_real: int):
+    """(mean over valid positions, n_valid) from masked per-position terms."""
+    n_valid = jnp.sum((targets != n_real).astype(jnp.float32))
+    return jnp.sum(rows) / jnp.maximum(n_valid, 1.0), n_valid
+
+
 def bce_with_logits(logits: jax.Array, label_is_one: bool) -> jax.Array:
     """Mean binary cross-entropy with logits against an all-ones or all-zeros
     label tensor (trainer.py:113-117)."""

@@ -30,7 +30,7 @@ import optax
 
 from c2dsr_tpu.config import Config, DataSpec
 from c2dsr_tpu.model import c2dsr
-from c2dsr_tpu.ops import losses
+from c2dsr_tpu.ops import backend, losses
 
 
 class TrainState(NamedTuple):
@@ -94,21 +94,38 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
     gt_b = batch["gt_b"][:, -R:]
 
     na, nb = spec.n_item_a, spec.n_item_b
+    use_pallas = backend.resolve(cfg) == "pallas"
 
-    ce = losses.rec_cross_entropy
-    pad_s = c2dsr.classify_pad(params, hs)
-    l_share_a, n_share_a = ce(c2dsr.classify_a(params, hs), pad_s,
-                              gt_share_a, na)
-    l_share_b, n_share_b = ce(c2dsr.classify_b(params, hs), pad_s,
-                              gt_share_b, nb)
+    def domain_ce(w_key, b_key, h_dom, gt_share, gt_dom, n_real):
+        """Both CE terms of one domain (share-tower and combined-tower,
+        trainer.py:131-152) in a single pass over the classifier: rows are
+        [hs | hs+h_dom] so the fused kernel streams the weight once."""
+        h_cat = jnp.concatenate([hs, hs + h_dom], axis=1)       # [B, 2R, d]
+        pad_cat = jnp.concatenate(
+            [c2dsr.classify_pad(params, hs),
+             c2dsr.classify_pad(params, h_dom)], axis=1)
+        tgt_cat = jnp.concatenate([gt_share, gt_dom], axis=1)
+        if use_pallas:
+            from c2dsr_tpu.ops import fused_ce
+            rows = fused_ce.fused_rec_ce_rows(
+                h_cat, params[w_key], params[b_key], pad_cat, tgt_cat, n_real)
+        else:
+            logits = jnp.einsum("brd,dv->brv", h_cat, params[w_key],
+                                preferred_element_type=jnp.float32)
+            rows = losses.rec_ce_row_losses(logits + params[b_key], pad_cat,
+                                            tgt_cat, n_real)
+        l_share, n_share = losses.ce_mean_from_rows(
+            rows[:, :R], gt_share, n_real)
+        l_dom, _ = losses.ce_mean_from_rows(rows[:, R:], gt_dom, n_real)
+        return l_share, n_share, l_dom
+
+    l_share_a, n_share_a, l_a = domain_ce("cls_a_w", "cls_a_b", ha,
+                                          gt_share_a, gt_a, na)
+    l_share_b, n_share_b, l_b = domain_ce("cls_b_w", "cls_b_b", hb,
+                                          gt_share_b, gt_b, nb)
     denom = float(R) * B
     loss_share = (l_share_a * n_share_a / denom
                   + l_share_b * n_share_b / denom)
-
-    l_a, _ = ce(c2dsr.classify_a(params, hs + ha),
-                c2dsr.classify_pad(params, ha), gt_a, na)
-    l_b, _ = ce(c2dsr.classify_b(params, hs + hb),
-                c2dsr.classify_pad(params, hb), gt_b, nb)
     loss_rec = loss_share + l_a + l_b
 
     loss = cfg.lambda_loss * loss_rec + (1.0 - cfg.lambda_loss) * loss_mi

@@ -1,0 +1,70 @@
+"""Fused CE Pallas kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from c2dsr_tpu.ops import fused_ce, losses
+
+
+def _case(seed=0, B=4, R=4, d=32, V=512, n_real=500):
+    rng = np.random.default_rng(seed)
+    h = jnp.asarray(rng.normal(size=(B, R, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d, V)) * 0.1, jnp.float32)
+    w = w.at[:, n_real:].set(0.0)
+    b = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+    b = b.at[n_real:].set(0.0)
+    pad = jnp.asarray(rng.normal(size=(B, R, 1)), jnp.float32)
+    tgt = rng.integers(0, n_real, size=(B, R))
+    tgt[0, :2] = n_real          # some ignored rows
+    return h, w, b, pad, jnp.asarray(tgt, jnp.int32)
+
+
+def _xla(h, w, b, pad, tgt, n_real):
+    logits = jnp.einsum("brd,dv->brv", h, w) + b
+    return losses.rec_cross_entropy(logits, pad, tgt, n_real)
+
+
+def test_fused_ce_forward_matches():
+    h, w, b, pad, tgt = _case()
+    got, gn = fused_ce.fused_rec_cross_entropy(h, w, b, pad, tgt, 500,
+                                               interpret=True)
+    want, wn = _xla(h, w, b, pad, tgt, 500)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-3)
+    assert int(gn) == int(wn)
+
+
+def test_fused_ce_grads_match():
+    h, w, b, pad, tgt = _case(1)
+
+    def f_fused(h_, w_, b_, p_):
+        return fused_ce.fused_rec_cross_entropy(h_, w_, b_, p_, tgt, 500,
+                                                interpret=True)[0]
+
+    def f_xla(h_, w_, b_, p_):
+        return _xla(h_, w_, b_, p_, tgt, 500)[0]
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3))(h, w, b, pad)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2, 3))(h, w, b, pad)
+    for a, b_, name in zip(g1, g2, "h w b pad".split()):
+        np.testing.assert_allclose(np.array(a), np.array(b_), atol=5e-3,
+                                   err_msg=name)
+
+
+def test_fused_ce_nonaligned_rows():
+    # B*R = 12 not a multiple of 128 -> row padding path
+    h, w, b, pad, tgt = _case(2, B=3, R=4)
+    got, _ = fused_ce.fused_rec_cross_entropy(h, w, b, pad, tgt, 500,
+                                              interpret=True)
+    want, _ = _xla(h, w, b, pad, tgt, 500)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-3)
+
+
+def test_fused_ce_all_ignored_rows():
+    h, w, b, pad, tgt = _case(3)
+    tgt = jnp.full_like(tgt, 500)
+    got, gn = fused_ce.fused_rec_cross_entropy(h, w, b, pad, tgt, 500,
+                                               interpret=True)
+    assert float(got) == 0.0 and int(gn) == 0

@@ -74,14 +74,16 @@ def test_eval_rank_matches_bruteforce(setup):
     ga = {k: jnp.asarray(v[:8]) for k, v in groups["a"].items()}
     ranks = np.array(rank_step(params, hi, ga, "a", "sampled"))
 
-    # brute-force oracle per example
+    # brute-force oracle per example (slice off vocab-padding columns)
     h_share, hx, hy = c2dsr.forward(
         params, hi, ga["seq_share"], ga["seq_share_a"], ga["seq_share_b"],
         ga["pos"], ga["pos_a"], ga["pos_b"], cfg, spec, rng=None)
+    na = spec.n_item_a
     for i in range(8):
         h = np.array(h_share[i, -1] + hx[i, int(ga["idx_last_a"][i]) %
                                          spec.len_max])
-        scores = h @ np.array(params["cls_a_w"]) + np.array(params["cls_a_b"])
+        scores = (h @ np.array(params["cls_a_w"])
+                  + np.array(params["cls_a_b"]))[:na]
         gt = int(ga["gt_last"][i])
         neg = np.array(ga["list_neg"][i])
         want = int((scores[neg] > scores[gt]).sum()) + 1
@@ -92,7 +94,8 @@ def test_eval_rank_matches_bruteforce(setup):
     for i in range(8):
         h = np.array(h_share[i, -1] + hx[i, int(ga["idx_last_a"][i]) %
                                          spec.len_max])
-        scores = h @ np.array(params["cls_a_w"]) + np.array(params["cls_a_b"])
+        scores = (h @ np.array(params["cls_a_w"])
+                  + np.array(params["cls_a_b"]))[:na]
         gt = int(ga["gt_last"][i])
         want = int((scores > scores[gt]).sum()) + 1
         assert ranks_full[i] == want
