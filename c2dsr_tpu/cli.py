@@ -119,9 +119,13 @@ def main(argv=None) -> int:
         test = preprocess.load_or_build_split(
             path_raw, path_data, "test", spec, cfg.n_neg_sample, cfg.seed,
             cfg.bug_truncated_b_neg_pool)
-        graph_seqs = raw.parse_interactions(raw.split_path(path_raw, "train"))
+        graph_seqs = None
+        graph_file = raw.split_path(path_raw, "train")
 
-    gs, gp = build.build_graphs(graph_seqs, spec)
+    if args.synthetic:
+        gs, gp = build.build_graphs(graph_seqs, spec)
+    else:
+        gs, gp = build.build_graphs_from_file(graph_file, spec)
     graphs = c2dsr.Graphs(share=spmm.device_graph(gs),
                           specific=spmm.device_graph(gp))
 

@@ -262,13 +262,35 @@ def load_or_build_split(raw_dir: str, cache_dir: str, mode: str,
     if os.path.exists(cache):
         with np.load(cache) as z:
             return {k: z[k] for k in z.files}
-    seqs = raw_mod.parse_interactions(raw_mod.split_path(raw_dir, mode))
-    if mode == "train":
-        out = preprocess_train(seqs, spec, seed=seed)
+    path = raw_mod.split_path(raw_dir, mode)
+
+    from c2dsr_tpu import native
+    nat = native.load()
+    if nat is not None:
+        # C++ fast path (golden-tested vs the Python code below)
+        offsets, items = nat.parse_interactions(path)
+        if mode == "train":
+            blk = nat.preprocess_train(offsets, items, spec.n_item_a,
+                                       spec.n_item_b, spec.len_max, seed)
+            out = {k: np.ascontiguousarray(blk[:, i])
+                   for i, k in enumerate(TRAIN_FIELDS)}
+        else:
+            seqs_blk, scalars, negs = nat.preprocess_eval(
+                offsets, items, spec.n_item_a, spec.n_item_b, spec.len_max,
+                n_neg_sample, seed, bug_truncated_b_neg_pool)
+            out = {k: np.ascontiguousarray(seqs_blk[:, i])
+                   for i, k in enumerate(EVAL_FIELDS[:6])}
+            for c, k in enumerate(EVAL_FIELDS[6:10]):
+                out[k] = np.ascontiguousarray(scalars[:, c])
+            out["list_neg"] = negs
     else:
-        out = preprocess_evaluate(
-            seqs, spec, n_neg_sample=n_neg_sample, seed=seed,
-            bug_truncated_b_neg_pool=bug_truncated_b_neg_pool)
+        seqs = raw_mod.parse_interactions(path)
+        if mode == "train":
+            out = preprocess_train(seqs, spec, seed=seed)
+        else:
+            out = preprocess_evaluate(
+                seqs, spec, n_neg_sample=n_neg_sample, seed=seed,
+                bug_truncated_b_neg_pool=bug_truncated_b_neg_pool)
     os.makedirs(cache_dir, exist_ok=True)
     np.savez_compressed(cache, **out)
     return out

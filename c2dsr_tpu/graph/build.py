@@ -104,3 +104,18 @@ def build_graphs(sequences: List[List[int]], spec: DataSpec
     specific = _coalesce_row_normalize(
         np.asarray(spec_edges, dtype=np.int64).reshape(-1, 2), n)
     return share, specific
+
+
+def build_graphs_from_file(path: str, spec: DataSpec
+                           ) -> Tuple[CooGraph, CooGraph]:
+    """Like build_graphs but reading the raw TSV directly; uses the native
+    C++ parser/edge-extractor when available (golden-tested equivalent)."""
+    from c2dsr_tpu import native
+    nat = native.load()
+    if nat is not None:
+        offsets, items = nat.parse_interactions(path)
+        share_e, spec_e = nat.build_edges(offsets, items, spec.n_item_a)
+        return (_coalesce_row_normalize(share_e.astype(np.int64), spec.n_item),
+                _coalesce_row_normalize(spec_e.astype(np.int64), spec.n_item))
+    from c2dsr_tpu.data import raw as raw_mod
+    return build_graphs(raw_mod.parse_interactions(path), spec)
