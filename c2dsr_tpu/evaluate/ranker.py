@@ -31,11 +31,11 @@ from c2dsr_tpu.config import Config, DataSpec
 from c2dsr_tpu.model import c2dsr
 
 
-def _last_hidden(params, hi, batch, cfg, spec, domain: str):
+def _last_hidden(params, hi, batch, cfg, spec, domain: str, pops=None):
     h_share, hx, hy = c2dsr.forward(
         params, hi, batch["seq_share"], batch["seq_share_a"],
         batch["seq_share_b"], batch["pos"], batch["pos_a"], batch["pos_b"],
-        cfg, spec, rng=None)
+        cfg, spec, rng=None, pops=pops)
     L = h_share.shape[1]
     b_idx = jnp.arange(h_share.shape[0])
     h_share_last = h_share[:, -1, :]
@@ -51,41 +51,41 @@ def _last_hidden(params, hi, batch, cfg, spec, domain: str):
 
 
 def _rank_kernel(params, hi, batch, cfg: Config, spec: DataSpec,
-                 domain: str, mode: str) -> jax.Array:
-    h = _last_hidden(params, hi, batch, cfg, spec, domain)
+                 domain: str, mode: str, pops) -> jax.Array:
+    h = _last_hidden(params, hi, batch, cfg, spec, domain, pops)
     if domain == "a":
-        scores = c2dsr.classify_a(params, h)          # [B, n_item_a_padded]
-        n_real = spec.n_item_a
+        w, b, n_real = params["cls_a_w"], params["cls_a_b"], spec.n_item_a
     else:
-        scores = c2dsr.classify_b(params, h)          # [B, n_item_b_padded]
-        n_real = spec.n_item_b
-    if scores.shape[-1] > n_real:
-        # vocab-padding columns must never outrank the ground truth
-        scores = jnp.where(jnp.arange(scores.shape[-1]) < n_real,
-                           scores, -jnp.inf)
+        w, b, n_real = params["cls_b_w"], params["cls_b_b"], spec.n_item_b
     gt = batch["gt_last"].astype(jnp.int32)
-    gt_score = jnp.take_along_axis(scores, gt[:, None], axis=1)
     if mode == "sampled":
-        neg = jnp.take_along_axis(scores, batch["list_neg"], axis=1)
-        return jnp.sum(neg > gt_score, axis=1).astype(jnp.int32) + 1
-    return jnp.sum(scores > gt_score, axis=1).astype(jnp.int32) + 1
+        # score only [gt | negatives] (rank = #(neg > gt score) + 1,
+        # trainer.py:174,179); negative ids are always real classes
+        ids = jnp.concatenate([gt[:, None], batch["list_neg"]], axis=1)
+        s = pops.gather_scores(h, w, b, ids)
+        return jnp.sum(s[:, 1:] > s[:, :1], axis=1).astype(jnp.int32) + 1
+    return pops.full_rank(h, w, b, gt, n_real)
 
 
-def make_eval_fns(cfg: Config, spec: DataSpec, graphs: c2dsr.Graphs):
+def make_eval_fns(cfg: Config, spec: DataSpec, graphs: c2dsr.Graphs,
+                  mesh=None):
     """Returns (convolve_eval, rank_step) jitted callables.
 
     convolve_eval(params) -> Propagated (deterministic, once per eval phase —
     the reference also convolves once before the val loop, trainer.py:65).
     rank_step(params, hi, batch, domain, mode) -> ranks [B].
     """
+    from c2dsr_tpu.parallel import strategy
+    pops = strategy.make_ops(cfg, mesh)
 
     @jax.jit
     def convolve_eval(params):
-        return c2dsr.convolve_graph(params, graphs, cfg, spec, rng=None)
+        return c2dsr.convolve_graph(params, graphs, cfg, spec, rng=None,
+                                    pops=pops)
 
     @functools.partial(jax.jit, static_argnames=("domain", "mode"))
     def rank_step(params, hi, batch, domain: str, mode: str):
-        return _rank_kernel(params, hi, batch, cfg, spec, domain, mode)
+        return _rank_kernel(params, hi, batch, cfg, spec, domain, mode, pops)
 
     return convolve_eval, rank_step
 

@@ -57,40 +57,50 @@ def embedding_tables(params: Dict[str, Any], cfg: Config, spec: DataSpec
 
 
 def convolve_graph(params: Dict[str, Any], graphs: Graphs, cfg: Config,
-                   spec: DataSpec, rng: Optional[jax.Array]) -> Propagated:
+                   spec: DataSpec, rng: Optional[jax.Array],
+                   pops=None) -> Propagated:
     """Propagate all three tables through their GCNs (C2DSR.py:59-62).
 
     rng=None -> eval mode (no dropout).  Differentiable in params.
+    pops = parallel-op strategy (parallel/strategy.py); None -> local.
     """
+    pops = pops or _local_ops(cfg)
     e_share, e_a, e_b = embedding_tables(params, cfg, spec)
     r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
-    hi_share = spmm.gcn_propagate(graphs.share, e_share, cfg.n_gnn,
-                                  cfg.dropout_gnn, r(0))
-    hi_a = spmm.gcn_propagate(graphs.specific, e_a, cfg.n_gnn,
-                              cfg.dropout_gnn, r(1))
-    hi_b = spmm.gcn_propagate(graphs.specific, e_b, cfg.n_gnn,
-                              cfg.dropout_gnn, r(2))
+    hi_share = pops.spmm_propagate(graphs.share, e_share, cfg.n_gnn,
+                                   cfg.dropout_gnn, r(0))
+    hi_a = pops.spmm_propagate(graphs.specific, e_a, cfg.n_gnn,
+                               cfg.dropout_gnn, r(1))
+    hi_b = pops.spmm_propagate(graphs.specific, e_b, cfg.n_gnn,
+                               cfg.dropout_gnn, r(2))
     return Propagated(share=hi_share, a=hi_a, b=hi_b)
 
 
+def _local_ops(cfg: Config):
+    from c2dsr_tpu.parallel.strategy import LocalOps
+    return LocalOps(cfg=cfg)
+
+
 def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
-           rng: Optional[jax.Array]) -> jax.Array:
+           rng: Optional[jax.Array], pops=None) -> jax.Array:
     """(propagated + raw) lookup x sqrt(d) -> attention tower.
 
     The lookup result is masked where seq == idx_pad: zeroes the pad row's
     contribution and kills the gradient into it (padding_idx semantics, see
     embedding_tables)."""
+    pops = pops or _local_ops(cfg)
+    lk = lambda tbl: pops.lookup(tbl, seq)
     real = (seq != spec.idx_pad)[..., None]
     if cfg.bug_inverted_padding_mask:
         # reference-parity mode: pads ARE attended (encoders.py:33), and
         # torch padding_idx only guards the direct embedding path — the
         # GCN-propagated row hi[pad] is looked up unguarded and its pad row
         # can drift via the propagation identity term.  Mirror that.
-        h = (hi[seq] + jnp.where(real, raw_table[seq], 0.0))
+        h = (lk(hi) + jnp.where(real, lk(raw_table), 0.0))
     else:
         # correct masking: nothing downstream reads pad rows, so the whole
         # lookup (and its gradient) is zeroed at pad positions.
-        h = jnp.where(real, hi[seq] + raw_table[seq], 0.0)
+        h = jnp.where(real, lk(hi) + lk(raw_table), 0.0)
     h = (h * (cfg.d_latent ** 0.5)).astype(jnp.dtype(cfg.compute_dtype))
     out = enc.encode_sequence(
         seq, h, pos, attn_params, idx_pad=spec.idx_pad, n_head=cfg.n_head,
@@ -101,25 +111,41 @@ def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
 
 def forward(params: Dict[str, Any], hi: Propagated, seq_share, seq_a, seq_b,
             pos_share, pos_a, pos_b, cfg: Config, spec: DataSpec,
-            rng: Optional[jax.Array]
+            rng: Optional[jax.Array], pops=None
             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Three towers (C2DSR.py:64-77). Returns (h_share, hx, hy), [B, L, d]."""
     e_share, e_a, e_b = embedding_tables(params, cfg, spec)
     r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
     h_share = _tower(seq_share, pos_share, hi.share, e_share,
-                     params["attn_share"], cfg, spec, r(0))
-    hx = _tower(seq_a, pos_a, hi.a, e_a, params["attn_a"], cfg, spec, r(1))
-    hy = _tower(seq_b, pos_b, hi.b, e_b, params["attn_b"], cfg, spec, r(2))
+                     params["attn_share"], cfg, spec, r(0), pops)
+    hx = _tower(seq_a, pos_a, hi.a, e_a, params["attn_a"], cfg, spec, r(1),
+                pops)
+    hy = _tower(seq_b, pos_b, hi.b, e_b, params["attn_b"], cfg, spec, r(2),
+                pops)
     return h_share, hx, hy
 
 
 def forward_share(params: Dict[str, Any], hi: Propagated, seq, pos,
-                  cfg: Config, spec: DataSpec, rng: Optional[jax.Array]
-                  ) -> jax.Array:
+                  cfg: Config, spec: DataSpec, rng: Optional[jax.Array],
+                  pops=None) -> jax.Array:
     """Shared tower only (C2DSR.py:79-85)."""
     e_share, _, _ = embedding_tables(params, cfg, spec)
     return _tower(seq, pos, hi.share, e_share, params["attn_share"],
-                  cfg, spec, rng)
+                  cfg, spec, rng, pops)
+
+
+def forward_domains(params: Dict[str, Any], hi: Propagated, seq_a, seq_b,
+                    pos_a, pos_b, cfg: Config, spec: DataSpec,
+                    rng: Optional[jax.Array], pops=None):
+    """A and B towers only (the shared tower is often run separately on a
+    stacked batch — see train/step.py).  Returns (None, hx, hy)."""
+    _, e_a, e_b = embedding_tables(params, cfg, spec)
+    r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
+    hx = _tower(seq_a, pos_a, hi.a, e_a, params["attn_a"], cfg, spec, r(1),
+                pops)
+    hy = _tower(seq_b, pos_b, hi.b, e_b, params["attn_b"], cfg, spec, r(2),
+                pops)
+    return None, hx, hy
 
 
 def classify_a(params, h):

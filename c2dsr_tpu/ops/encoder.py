@@ -28,9 +28,13 @@ NEG_INF = -1e9         # finite mask value: keeps softmax NaN-free on all-pad ro
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                eps: float = LN_EPS) -> jax.Array:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # statistics in f32 regardless of compute dtype (eps=1e-8 is below
+    # bf16 resolution), result back in the input dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(x.dtype)
 
 
 def _dropout(x: jax.Array, rate: float, rng: Optional[jax.Array]) -> jax.Array:

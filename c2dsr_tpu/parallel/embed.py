@@ -45,9 +45,11 @@ def _owner_local(ids: jax.Array, shard_rows: int, axis: str):
 
 
 def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
-                   axis: str = "model") -> jax.Array:
-    """table [N_p, d] sharded P(axis, None); ids replicated -> rows
-    replicated [*ids.shape, d]."""
+                   axis: str = "model",
+                   ids_spec: P = P()) -> jax.Array:
+    """table [N_p, d] sharded P(axis, None); ids with sharding ``ids_spec``
+    (replicated over `axis`; typically P() standalone or P("data") inside
+    the data-parallel train step) -> rows co-sharded with ids."""
 
     def kernel(tbl, ids_):
         local, ok = _owner_local(ids_, tbl.shape[0], axis)
@@ -55,9 +57,10 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
         rows = jnp.where(ok[..., None], rows, 0.0)
         return jax.lax.psum(rows, axis)
 
+    out_spec = P(*ids_spec, *(None,) * (ids.ndim + 1 - len(ids_spec)))
     return shard_map(kernel, mesh=mesh,
-                     in_specs=(P(axis, None), P()),
-                     out_specs=P())(table, ids)
+                     in_specs=(P(axis, None), ids_spec),
+                     out_specs=out_spec)(table, ids)
 
 
 def all_to_all_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,

@@ -16,9 +16,10 @@ from jax.experimental.shard_map import shard_map
 
 def sharded_full_rank(h: jax.Array, w: jax.Array, b: jax.Array,
                       gt: jax.Array, n_real: int, mesh: Mesh,
-                      axis: str = "model") -> jax.Array:
-    """h: [B, d] replicated; w: [d, V_p] sharded P(None, axis); b: [V_p]
-    sharded; gt: [B] replicated (domain-local ids).  Returns ranks [B]."""
+                      axis: str = "model", batch_spec: P = P()) -> jax.Array:
+    """h: [B, d]; w: [d, V_p] sharded P(None, axis); b: [V_p] sharded;
+    gt: [B] (domain-local ids).  batch_spec = sharding of the batch dim.
+    Returns ranks [B] co-sharded with the batch."""
 
     def kernel(h_, w_, b_, gt_):
         Vs = w_.shape[1]
@@ -36,9 +37,33 @@ def sharded_full_rank(h: jax.Array, w: jax.Array, b: jax.Array,
         cnt = jnp.sum(scores > g[:, None], axis=1)
         return jax.lax.psum(cnt, axis).astype(jnp.int32) + 1
 
+    hspec = P(*batch_spec)
     return shard_map(kernel, mesh=mesh,
-                     in_specs=(P(), P(None, axis), P(axis), P()),
-                     out_specs=P())(h, w, b, gt)
+                     in_specs=(hspec, P(None, axis), P(axis), hspec),
+                     out_specs=hspec)(h, w, b, gt)
+
+
+def sharded_gather_scores(h: jax.Array, w: jax.Array, b: jax.Array,
+                          ids: jax.Array, mesh: Mesh, axis: str = "model",
+                          batch_spec: P = P()) -> jax.Array:
+    """scores[i, k] = h_i . w[:, ids[i, k]] + b[ids[i, k]] over the
+    vocab-sharded classifier (sampled-negative eval): each shard scores the
+    candidate ids it owns, combined with a psum."""
+
+    def kernel(h_, w_, b_, ids_):
+        Vs = w_.shape[1]
+        ax = jax.lax.axis_index(axis)
+        local = ids_ - ax * Vs
+        ok = (local >= 0) & (local < Vs)
+        lc = jnp.clip(local, 0, Vs - 1)
+        cols = jnp.take(w_, lc, axis=1)               # [d, B, K]
+        s = jnp.einsum("bd,dbk->bk", h_, cols) + jnp.take(b_, lc)
+        return jax.lax.psum(jnp.where(ok, s, 0.0), axis)
+
+    hspec = P(*batch_spec)
+    return shard_map(kernel, mesh=mesh,
+                     in_specs=(hspec, P(None, axis), P(axis), hspec),
+                     out_specs=hspec)(h, w, b, ids)
 
 
 def sharded_topk(h: jax.Array, w: jax.Array, b: jax.Array, k: int,

@@ -49,10 +49,20 @@ class Experiment:
         k_init, self.k_step = jax.random.split(key)
         params = params_mod.init_params(k_init, cfg, spec)
         self.state = step_mod.init_state(params, self.optimizer)
+
+        # multi-chip: build the mesh, shard state by the parallel/mesh.py
+        # rules, and route table ops through explicit collectives
+        self.mesh = None
+        if cfg.mesh_data * cfg.mesh_model > 1:
+            from c2dsr_tpu.parallel import mesh as mesh_mod
+            self.mesh = mesh_mod.make_mesh(cfg.mesh_data, cfg.mesh_model)
+            self.state = jax.device_put(
+                self.state, mesh_mod.state_shardings(self.state, self.mesh))
+
         self.train_step = step_mod.make_train_step(
-            cfg, spec, graphs, self.optimizer, self.k_step)
+            cfg, spec, graphs, self.optimizer, self.k_step, mesh=self.mesh)
         self.convolve_eval, self.rank_step = ranker.make_eval_fns(
-            cfg, spec, graphs)
+            cfg, spec, graphs, mesh=self.mesh)
 
     # ----- phases ----------------------------------------------------------
     def run_train_epoch(self):

@@ -30,7 +30,7 @@ import optax
 
 from c2dsr_tpu.config import Config, DataSpec
 from c2dsr_tpu.model import c2dsr
-from c2dsr_tpu.ops import backend, losses
+from c2dsr_tpu.ops import losses
 
 
 class TrainState(NamedTuple):
@@ -46,26 +46,35 @@ def _pool_mask(gt_mask: jax.Array) -> jax.Array:
 
 
 def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
-            rng: jax.Array, cfg: Config, spec: DataSpec
+            rng: jax.Array, cfg: Config, spec: DataSpec, pops=None
             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    r_gnn, r_fwd, r_neg_a, r_neg_b = jax.random.split(rng, 4)
-    hi = c2dsr.convolve_graph(params, graphs, cfg, spec, r_gnn)
-    h_share, hx, hy = c2dsr.forward(
-        params, hi, batch["seq_share"], batch["seq_share_a"],
-        batch["seq_share_b"], batch["pos"], batch["pos_a"], batch["pos_b"],
-        cfg, spec, r_fwd)
+    from c2dsr_tpu.parallel import strategy
+    pops = pops or strategy.LocalOps(cfg=cfg)
+    r_gnn, r_fwd, r_neg = jax.random.split(rng, 3)
+    hi = c2dsr.convolve_graph(params, graphs, cfg, spec, r_gnn, pops)
 
     B = batch["seq_share"].shape[0]
+    # The shared tower runs on three sequences per example (positive +
+    # two corrupted, trainer.py:97,105,108) with the SAME weights — stack
+    # them into one 3B-batch pass so the encoder runs 3 tower passes per
+    # step instead of 5.
+    seq_share3 = jnp.concatenate(
+        [batch["seq_share"], batch["seq_share_neg_a"],
+         batch["seq_share_neg_b"]], axis=0)
+    pos3 = jnp.concatenate([batch["pos"]] * 3, axis=0)
+    h_share3 = c2dsr.forward_share(params, hi, seq_share3, pos3, cfg, spec,
+                                   r_neg, pops)
+    h_share, h_neg_a, h_neg_b = jnp.split(h_share3, 3, axis=0)
+
+    _, hx, hy = c2dsr.forward_domains(
+        params, hi, batch["seq_share_a"], batch["seq_share_b"],
+        batch["pos_a"], batch["pos_b"], cfg, spec, r_fwd, pops)
+
     mask_a = _pool_mask(batch["gt_mask_a"])[..., None]     # [B, L, 1]
     mask_b = _pool_mask(batch["gt_mask_b"])[..., None]
 
     hx_mean = jnp.sum(hx * mask_a, axis=1)
     hy_mean = jnp.sum(hy * mask_b, axis=1)
-
-    h_neg_a = c2dsr.forward_share(params, hi, batch["seq_share_neg_a"],
-                                  batch["pos"], cfg, spec, r_neg_a)
-    h_neg_b = c2dsr.forward_share(params, hi, batch["seq_share_neg_b"],
-                                  batch["pos"], cfg, spec, r_neg_b)
 
     d_a_b = params.get("D_a_b")
     d_b_b = params.get("D_b_b")
@@ -94,26 +103,18 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
     gt_b = batch["gt_b"][:, -R:]
 
     na, nb = spec.n_item_a, spec.n_item_b
-    use_pallas = backend.resolve(cfg) == "pallas"
 
     def domain_ce(w_key, b_key, h_dom, gt_share, gt_dom, n_real):
         """Both CE terms of one domain (share-tower and combined-tower,
         trainer.py:131-152) in a single pass over the classifier: rows are
-        [hs | hs+h_dom] so the fused kernel streams the weight once."""
+        [hs | hs+h_dom] so the kernel streams the weight once."""
         h_cat = jnp.concatenate([hs, hs + h_dom], axis=1)       # [B, 2R, d]
         pad_cat = jnp.concatenate(
             [c2dsr.classify_pad(params, hs),
              c2dsr.classify_pad(params, h_dom)], axis=1)
         tgt_cat = jnp.concatenate([gt_share, gt_dom], axis=1)
-        if use_pallas:
-            from c2dsr_tpu.ops import fused_ce
-            rows = fused_ce.fused_rec_ce_rows(
-                h_cat, params[w_key], params[b_key], pad_cat, tgt_cat, n_real)
-        else:
-            logits = jnp.einsum("brd,dv->brv", h_cat, params[w_key],
-                                preferred_element_type=jnp.float32)
-            rows = losses.rec_ce_row_losses(logits + params[b_key], pad_cat,
-                                            tgt_cat, n_real)
+        rows = pops.ce_rows(h_cat, params[w_key], params[b_key], pad_cat,
+                            tgt_cat, n_real)
         l_share, n_share = losses.ce_mean_from_rows(
             rows[:, :R], gt_share, n_real)
         l_dom, _ = losses.ce_mean_from_rows(rows[:, R:], gt_dom, n_real)
@@ -134,13 +135,19 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
 
 
 def make_train_step(cfg: Config, spec: DataSpec, graphs: c2dsr.Graphs,
-                    optimizer: optax.GradientTransformation, base_rng: jax.Array):
-    """Build the jitted train step.  graphs is closed over (device-resident)."""
+                    optimizer: optax.GradientTransformation,
+                    base_rng: jax.Array, mesh=None):
+    """Build the jitted train step.  graphs is closed over (device-resident).
+    mesh + cfg.mesh_model > 1 routes table ops through explicit shard_map
+    collectives (parallel/strategy.py)."""
+    from c2dsr_tpu.parallel import strategy
+    pops = strategy.make_ops(cfg, mesh)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         rng = jax.random.fold_in(base_rng, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, aux), grads = grad_fn(state.params, graphs, batch, rng, cfg, spec)
+        (_, aux), grads = grad_fn(state.params, graphs, batch, rng, cfg,
+                                  spec, pops)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

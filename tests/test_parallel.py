@@ -165,6 +165,48 @@ def test_sharded_topk_matches(mesh):
     np.testing.assert_array_equal(np.array(idx), want_idx)
 
 
+def test_sharded_train_step_matches_local(mesh):
+    """Full train step through explicit collectives (ShardedOps) vs the
+    single-device path: identical RNG -> loss must match to f32 tolerance."""
+    import jax.numpy as jnp
+    from c2dsr_tpu.config import Config, DataSpec
+    from c2dsr_tpu.data import preprocess, synthetic
+    from c2dsr_tpu.graph import build
+    from c2dsr_tpu.model import c2dsr, params as params_mod
+    from c2dsr_tpu.ops import spmm
+    from c2dsr_tpu.parallel import mesh as mesh_mod
+    from c2dsr_tpu.train import step as step_mod
+
+    cfg_local = Config(data="fk", d_latent=32, len_rec=5,
+                       vocab_pad_multiple=128)
+    cfg_shard = cfg_local.with_(mesh_data=mesh.shape["data"],
+                                mesh_model=mesh.shape["model"])
+    spec = DataSpec(n_item_a=150, n_item_b=200, len_max=15)
+    seqs = synthetic.generate_sequences(spec, 120, seed=11)
+    train = preprocess.preprocess_train(seqs, spec, seed=11)
+    gs, gp = build.build_graphs(seqs, spec)
+    graphs = c2dsr.Graphs(share=spmm.device_graph(gs),
+                          specific=spmm.device_graph(gp))
+    params = params_mod.init_params(jax.random.PRNGKey(0), cfg_local, spec)
+    batch = {k: jnp.asarray(v[:16]) for k, v in train.items()}
+    rng = jax.random.PRNGKey(5)
+
+    from c2dsr_tpu.parallel import strategy
+    l_local, aux_l = step_mod.loss_fn(params, graphs, batch, rng, cfg_local,
+                                      spec, strategy.LocalOps(cfg=cfg_local))
+    pops = strategy.make_ops(cfg_shard, mesh)
+    params_s = jax.device_put(
+        params, mesh_mod.params_shardings(params, mesh))
+    batch_s = {k: jax.device_put(v, mesh_mod.batch_sharding(mesh))
+               for k, v in batch.items()}
+    l_shard, aux_s = jax.jit(
+        lambda p, b: step_mod.loss_fn(p, graphs, b, rng, cfg_shard, spec,
+                                      pops))(params_s, batch_s)
+    np.testing.assert_allclose(float(l_shard), float(l_local), rtol=1e-4)
+    np.testing.assert_allclose(float(aux_s["loss_rec"]),
+                               float(aux_l["loss_rec"]), rtol=1e-4)
+
+
 def test_dp_gradient_matches_single_device(mesh):
     """Data-parallel grad (batch sharded over 'data') == single-device grad."""
     rng = np.random.default_rng(8)
