@@ -69,10 +69,14 @@ def convolve_graph(params: Dict[str, Any], graphs: Graphs, cfg: Config,
     r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
     hi_share = pops.spmm_propagate(graphs.share, e_share, cfg.n_gnn,
                                    cfg.dropout_gnn, r(0))
-    hi_a = pops.spmm_propagate(graphs.specific, e_a, cfg.n_gnn,
-                               cfg.dropout_gnn, r(1))
-    hi_b = pops.spmm_propagate(graphs.specific, e_b, cfg.n_gnn,
-                               cfg.dropout_gnn, r(2))
+    # A and B propagate through the SAME adjacency (C2DSR.py:61-62), so run
+    # them as one pass over the feature-concatenated table: one gather over
+    # the edge list serves both.  Feature-dim concat keeps dropout iid per
+    # element, identical in distribution to two independent passes.
+    e_ab = jnp.concatenate([e_a, e_b], axis=1)
+    hi_ab = pops.spmm_propagate(graphs.specific, e_ab, cfg.n_gnn,
+                                cfg.dropout_gnn, r(1))
+    hi_a, hi_b = jnp.split(hi_ab, 2, axis=1)
     return Propagated(share=hi_share, a=hi_a, b=hi_b)
 
 

@@ -21,19 +21,26 @@ import numpy as np
 
 
 class CooDevice(NamedTuple):
-    """Device-resident COO graph. rows sorted ascending; n static."""
+    """Device-resident COO graph. rows sorted ascending; n static.
+
+    bk_fwd/bk_bwd are the Pallas kernel's packed layouts (A and A^T,
+    ops/spmm_pallas.py); None when built with blocked=False.
+    """
 
     rows: jax.Array   # int32 [nnz]
     cols: jax.Array   # int32 [nnz]
     vals: jax.Array   # float32 [nnz]
     n: int            # static
+    bk_fwd: object = None
+    bk_bwd: object = None
 
 
-def device_graph(g) -> CooDevice:
+def device_graph(g, blocked: bool = True) -> CooDevice:
     """Upload a host CooGraph (graph/build.py) to device arrays.
 
     Pads nnz to a multiple of 1024 with zero-weight self-loops on row/col 0
-    so downstream kernels see aligned shapes.
+    so downstream kernels see aligned shapes.  blocked=True also packs the
+    Pallas fast-path layouts for A and A^T.
     """
     nnz = int(g.rows.shape[0])
     pad = (-nnz) % 1024
@@ -41,8 +48,14 @@ def device_graph(g) -> CooDevice:
     cols = np.concatenate([g.cols, np.zeros(pad, np.int32)])
     vals = np.concatenate([g.vals, np.zeros(pad, np.float32)])
     order = np.argsort(rows, kind="stable")
+    bk_fwd = bk_bwd = None
+    if blocked:
+        from c2dsr_tpu.ops import spmm_pallas
+        bk_fwd = spmm_pallas.prep(g.rows, g.cols, g.vals, int(g.n))
+        bk_bwd = spmm_pallas.prep(g.cols, g.rows, g.vals, int(g.n))
     return CooDevice(rows=jnp.asarray(rows[order]), cols=jnp.asarray(cols[order]),
-                     vals=jnp.asarray(vals[order]), n=int(g.n))
+                     vals=jnp.asarray(vals[order]), n=int(g.n),
+                     bk_fwd=bk_fwd, bk_bwd=bk_bwd)
 
 
 def spmm(graph: CooDevice, h: jax.Array) -> jax.Array:
@@ -59,10 +72,21 @@ def spmm(graph: CooDevice, h: jax.Array) -> jax.Array:
 
 
 def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,
-                  dropout: float, rng: jax.Array | None) -> jax.Array:
+                  dropout: float, rng: jax.Array | None,
+                  backend: str = "xla", interpret: bool = False) -> jax.Array:
     """LightGCN-style propagation: mean of all layer outputs incl. the input
     (models/encoders.py:42-48).  Dropout before each spmm in train mode.
+
+    backend="pallas" routes each hop through the blocked MXU kernel
+    (ops/spmm_pallas.py) when the graph carries packed layouts and the
+    feature dim is lane-aligned; otherwise falls back to gather+segment-sum.
     """
+    step = lambda x: spmm(graph, x)
+    if backend == "pallas" and graph.bk_fwd is not None:
+        from c2dsr_tpu.ops import spmm_pallas
+        if spmm_pallas.supports(h.shape[1]):
+            step = spmm_pallas.make_blocked_spmm(graph.bk_fwd, graph.bk_bwd,
+                                                 interpret)
     h_sum = h
     cur = h
     for i in range(n_layers):
@@ -70,6 +94,6 @@ def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,
             key = jax.random.fold_in(rng, i)
             keep = jax.random.bernoulli(key, 1.0 - dropout, cur.shape)
             cur = jnp.where(keep, cur / (1.0 - dropout), 0.0).astype(cur.dtype)
-        cur = spmm(graph, cur)
+        cur = step(cur)
         h_sum = h_sum + cur
     return h_sum / (n_layers + 1)

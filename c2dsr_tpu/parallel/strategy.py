@@ -34,7 +34,8 @@ class LocalOps:
 
     def spmm_propagate(self, graph: spmm_mod.CooDevice, h: jax.Array,
                       n_layers: int, dropout: float, rng) -> jax.Array:
-        return spmm_mod.gcn_propagate(graph, h, n_layers, dropout, rng)
+        return spmm_mod.gcn_propagate(graph, h, n_layers, dropout, rng,
+                                      backend=backend_mod.resolve(self.cfg))
 
     def ce_rows(self, h, w, b, pad_logit, targets, n_real: int) -> jax.Array:
         if backend_mod.resolve(self.cfg) == "pallas":

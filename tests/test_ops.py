@@ -49,6 +49,56 @@ def test_gcn_dropout_is_unbiased_scaling():
     assert np.isfinite(np.array(out)).all()
 
 
+def test_blocked_spmm_matches_dense_interpret():
+    # Pallas kernel (interpret mode on CPU) vs dense oracle, d lane-aligned.
+    from c2dsr_tpu.ops import spmm_pallas
+    g = _random_graph(4)
+    bk = spmm_pallas.prep(g.rows, g.cols, g.vals, int(g.n))
+    h = np.random.default_rng(4).normal(size=(g.n, 128)).astype(np.float32)
+    got = np.array(spmm_pallas.blocked_spmm_impl(bk, jnp.asarray(h),
+                                                 interpret=True))
+    want = g.to_dense() @ h
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_blocked_spmm_grad_matches_xla_path():
+    from c2dsr_tpu.ops import spmm_pallas
+    g = _random_graph(5)
+    dev = spmm.device_graph(g, blocked=True)
+    f = spmm_pallas.make_blocked_spmm(dev.bk_fwd, dev.bk_bwd, interpret=True)
+    # table carries 3 extra pad rows beyond the graph dim
+    n_pad = int(g.n) + 3
+    h = jnp.asarray(np.random.default_rng(5).normal(
+        size=(n_pad, 128)).astype(np.float32))
+
+    def loss_pallas(x):
+        return jnp.sum(jnp.sin(f(x)))
+
+    def loss_xla(x):
+        out = spmm.spmm(dev, x[:g.n])
+        out = jnp.concatenate([out, jnp.zeros((3, x.shape[1]), out.dtype)])
+        return jnp.sum(jnp.sin(out))
+
+    gp = np.array(jax.grad(loss_pallas)(h))
+    gx = np.array(jax.grad(loss_xla)(h))
+    np.testing.assert_allclose(gp, gx, atol=1e-4)
+    # pad rows have no edges: zero output and zero grad
+    np.testing.assert_array_equal(gp[g.n:], 0.0)
+
+
+def test_gcn_propagate_pallas_backend_matches_xla():
+    from c2dsr_tpu.ops import spmm_pallas  # noqa: F401
+    g = _random_graph(6)
+    dev = spmm.device_graph(g, blocked=True)
+    h = jnp.asarray(np.random.default_rng(6).normal(
+        size=(g.n, 128)).astype(np.float32))
+    want = np.array(spmm.gcn_propagate(dev, h, 2, 0.0, rng=None,
+                                       backend="xla"))
+    got = np.array(spmm.gcn_propagate(dev, h, 2, 0.0, rng=None,
+                                      backend="pallas", interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_masked_cross_entropy_vs_torch():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
