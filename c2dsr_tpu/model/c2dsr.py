@@ -103,8 +103,11 @@ def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
         h = (lk(hi) + jnp.where(real, lk(raw_table), 0.0))
     else:
         # correct masking: nothing downstream reads pad rows, so the whole
-        # lookup (and its gradient) is zeroed at pad positions.
-        h = jnp.where(real, lk(hi) + lk(raw_table), 0.0)
+        # lookup (and its gradient) is zeroed at pad positions.  Summing the
+        # tables FIRST (one table-sized add) halves the gather count and,
+        # crucially, the backward scatter-adds into the tables — the chain
+        # rule routes the single scattered cotangent to both tables.
+        h = jnp.where(real, lk(hi + raw_table), 0.0)
     h = (h * (cfg.d_latent ** 0.5)).astype(jnp.dtype(cfg.compute_dtype))
     out = enc.encode_sequence(
         seq, h, pos, attn_params, idx_pad=spec.idx_pad, n_head=cfg.n_head,

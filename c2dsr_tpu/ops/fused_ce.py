@@ -12,9 +12,13 @@ of a 52ms step).  This kernel never materializes logits:
   pad-class logit (trainer.py:131-140) into the normalizer at the last
   vocab block.  Outputs per-row (lse, target_logit); the masked mean and
   count-reweighting stay outside in plain JAX.
-* backward: two matmul-shaped kernels recompute the logit blocks (cheaper
-  than saving them): dh = sum_j (dlse*P + dt*onehot) @ W_j^T and
-  dW_j/db_j = sum_i h_i^T @ (dlse*P + dt*onehot).
+* backward: ONE merged kernel recomputes each logit block once (cheaper
+  than saving them) and feeds both grad matmuls from it:
+  dh = sum_j dlogits_j @ W_j^T and dW_j/db_j = sum_i h_i^T @ dlogits_ij,
+  with dlogits = dlse*P + dt*onehot.  The grid runs vocab-major so each W
+  block streams exactly once; dh stays whole in VMEM (constant output
+  index) accumulating across vocab blocks.  When dh would not fit in VMEM
+  the backward falls back to two single-purpose kernels.
 
 Vocab padding convention: callers pass a bias with -1e9 on padded columns
 (``mask_bias``), so padded classes vanish from the softmax with no masking
@@ -81,6 +85,58 @@ def _fwd_kernel(h_ref, w_ref, b_ref, pad_ref, tgt_ref,
         s_fin = s_sc[:] * jnp.exp(m_sc[:] - m_fin) + jnp.exp(p - m_fin)
         lse_ref[:] = m_fin + jnp.log(s_fin)
         tlog_ref[:] = t_sc[:]
+
+
+def _bwd_merged_kernel(h_ref, w_ref, b_ref, lse_ref, dlse_ref, dt_ref,
+                       tgt_ref, dh_ref, dw_ref, db_ref, *, bn: int, bv: int):
+    """One pass for ALL input grads: recompute the logit block once and feed
+    both grad matmuls.  Grid (j=vocab outer, i=rows inner): the w block loads
+    once per j; dh lives whole in VMEM (constant output index) accumulating
+    across j; dw/db accumulate across the inner i loop."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    logits = _dot(h_ref[:], w_ref[:]) + b_ref[:]          # [Bn, Bv]
+    p = jnp.exp(logits - lse_ref[:])
+    col = j * bv + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    match = col == tgt_ref[:]
+    dlogits = dlse_ref[:] * p + jnp.where(match, dt_ref[:], 0.0)
+
+    dh_part = jax.lax.dot_general(
+        dlogits.astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [Bn, d]
+    rows = pl.ds(i * bn, bn)
+
+    @pl.when(j == 0)
+    def _():
+        dh_ref[rows, :] = dh_part
+
+    @pl.when(j != 0)
+    def _():
+        dh_ref[rows, :] = dh_ref[rows, :] + dh_part
+
+    dw_part = jax.lax.dot_general(
+        h_ref[:].astype(jnp.bfloat16), dlogits.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [d, Bv]
+    db_part = jnp.sum(dlogits, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = dw_part
+        db_ref[:] = db_part
+
+    @pl.when(i != 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_part
+        db_ref[:] = db_ref[:] + db_part
+
+
+# dh is held fully VMEM-resident by the merged kernel; beyond this the
+# two-kernel fallback keeps VMEM bounded.
+_MERGED_DH_BYTES = 6 * 1024 * 1024
 
 
 def _bwd_dh_kernel(h_ref, w_ref, b_ref, lse_ref, dlse_ref, dt_ref, tgt_ref,
@@ -207,6 +263,38 @@ def _fused_ce_bwd(interpret, res, cts):
     n, d = h.shape
     v = w.shape[1]
     bn, bv = _pick_blocks(n, v)
+
+    if n * d * 4 <= _MERGED_DH_BYTES:
+        dh, dw, db = pl.pallas_call(
+            functools.partial(_bwd_merged_kernel, bn=bn, bv=bv),
+            grid=(v // bv, n // bn),
+            in_specs=[
+                pl.BlockSpec((bn, d), lambda j, i: (i, 0)),
+                pl.BlockSpec((d, bv), lambda j, i: (0, j)),
+                pl.BlockSpec((1, bv), lambda j, i: (0, j)),
+                pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((n, d), lambda j, i: (0, 0)),
+                pl.BlockSpec((d, bv), lambda j, i: (0, j)),
+                pl.BlockSpec((1, bv), lambda j, i: (0, j)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, d), jnp.float32),
+                jax.ShapeDtypeStruct((d, v), jnp.float32),
+                jax.ShapeDtypeStruct((1, v), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=6 * n * v * d,
+                bytes_accessed=4 * (n * d * 2 + d * v * 2),
+                transcendentals=n * v),
+            interpret=interpret,
+        )(h, w, b_masked, lse, dlse, dt, targets)
+        dpad = dlse * jnp.exp(pad_logit - lse)
+        return dh, dw, db, dpad, None
 
     dh = pl.pallas_call(
         functools.partial(_bwd_dh_kernel, bv=bv),

@@ -53,6 +53,44 @@ def test_fused_ce_grads_match():
                                    err_msg=name)
 
 
+def test_fused_ce_grads_match_multiblock():
+    # n=1024 rows (2 row blocks), V=2048 (2 vocab blocks): exercises the
+    # merged backward kernel's accumulation along both grid axes.
+    h, w, b, pad, tgt = _case(7, B=64, R=16, d=32, V=2048, n_real=2000)
+
+    def f_fused(h_, w_):
+        return fused_ce.fused_rec_cross_entropy(h_, w_, b, pad, tgt, 2000,
+                                                interpret=True)[0]
+
+    def f_xla(h_, w_):
+        return _xla(h_, w_, b, pad, tgt, 2000)[0]
+
+    g1 = jax.grad(f_fused, argnums=(0, 1))(h, w)
+    g2 = jax.grad(f_xla, argnums=(0, 1))(h, w)
+    for a, b_, name in zip(g1, g2, "h w".split()):
+        np.testing.assert_allclose(np.array(a), np.array(b_), atol=5e-3,
+                                   err_msg=name)
+
+
+def test_fused_ce_grads_match_twokernel_fallback(monkeypatch):
+    # Force the dh-too-big-for-VMEM fallback (separate dh / dw kernels).
+    monkeypatch.setattr(fused_ce, "_MERGED_DH_BYTES", 0)
+    h, w, b, pad, tgt = _case(8)
+
+    def f_fused(h_, w_, b_, p_):
+        return fused_ce.fused_rec_cross_entropy(h_, w_, b_, p_, tgt, 500,
+                                                interpret=True)[0]
+
+    def f_xla(h_, w_, b_, p_):
+        return _xla(h_, w_, b_, p_, tgt, 500)[0]
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3))(h, w, b, pad)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2, 3))(h, w, b, pad)
+    for a, b_, name in zip(g1, g2, "h w b pad".split()):
+        np.testing.assert_allclose(np.array(a), np.array(b_), atol=5e-3,
+                                   err_msg=name)
+
+
 def test_fused_ce_nonaligned_rows():
     # B*R = 12 not a multiple of 128 -> row padding path
     h, w, b, pad, tgt = _case(2, B=3, R=4)
