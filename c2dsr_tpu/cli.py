@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run on N synthetic users instead of raw data")
     p.add_argument("--bug_inverted_padding_mask", action="store_true")
     p.add_argument("--bug_truncated_b_neg_pool", action="store_true")
+    p.add_argument("--bug_epoch_grad_accum", action="store_true",
+                   help="reproduce the reference's epoch-scope zero_grad "
+                        "(trainer.py:42): gradients accumulate across all "
+                        "batches of an epoch")
     return p
 
 

@@ -101,6 +101,12 @@ class Config:
     # Quirk 2: reference draws domain-B eval negatives from the truncated pool
     # [0, n_item_b - n_item_a) (dataloader.py:222-224).  Default: full pool.
     bug_truncated_b_neg_pool: bool = False
+    # Quirk 11: the reference calls optimizer.zero_grad() once per EPOCH
+    # (trainer.py:42) while train_batch does backward+step per batch with no
+    # per-batch zero (trainer.py:157-158) — so the gradient each step is the
+    # RUNNING SUM of every batch gradient so far this epoch.  The published
+    # numbers come from those dynamics.  Default: standard fresh grads.
+    bug_epoch_grad_accum: bool = False
 
     @property
     def dataset(self) -> str:

@@ -63,12 +63,18 @@ class Experiment:
             cfg, spec, graphs, self.optimizer, self.k_step, mesh=self.mesh)
         self.convolve_eval, self.rank_step = ranker.make_eval_fns(
             cfg, spec, graphs, mesh=self.mesh)
+        self._reset_accum = jax.jit(optim.reset_grad_accum)
 
     # ----- phases ----------------------------------------------------------
     def run_train_epoch(self):
         t0 = time.time()
         tot = np.zeros(3)
         n = 0
+        if self.cfg.bug_epoch_grad_accum:
+            # reference parity: optimizer.zero_grad() once per epoch
+            # (trainer.py:42) — clear the running gradient sum
+            self.state = self.state._replace(
+                opt_state=self._reset_accum(self.state.opt_state))
         for batch in self.train_iter.epoch():
             self.state, aux = self.train_step(self.state, batch)
             bs = batch["seq_share"].shape[0]
