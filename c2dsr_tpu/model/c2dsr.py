@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from c2dsr_tpu.config import Config, DataSpec
+from c2dsr_tpu.ops import backend as backend_mod
 from c2dsr_tpu.ops import encoder as enc
 from c2dsr_tpu.ops import spmm
 
@@ -109,10 +110,20 @@ def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
         # rule routes the single scattered cotangent to both tables.
         h = jnp.where(real, lk(hi + raw_table), 0.0)
     h = (h * (cfg.d_latent ** 0.5)).astype(jnp.dtype(cfg.compute_dtype))
-    out = enc.encode_sequence(
-        seq, h, pos, attn_params, idx_pad=spec.idx_pad, n_head=cfg.n_head,
-        dropout=cfg.dropout_attn, rng=rng, norm_first=cfg.norm_first,
-        invert_padding_mask=cfg.bug_inverted_padding_mask)
+    if backend_mod.use_fused_encoder(cfg):
+        # fused Pallas tower: one kernel per pass, activations + weights in
+        # VMEM, recompute-forward backward (ops/encoder_pallas.py)
+        from c2dsr_tpu.ops import encoder_pallas
+        out = encoder_pallas.encode_sequence_fused(
+            seq, h, pos, attn_params, idx_pad=spec.idx_pad,
+            n_head=cfg.n_head, dropout=cfg.dropout_attn, rng=rng,
+            invert_padding_mask=cfg.bug_inverted_padding_mask)
+    else:
+        out = enc.encode_sequence(
+            seq, h, pos, attn_params, idx_pad=spec.idx_pad,
+            n_head=cfg.n_head, dropout=cfg.dropout_attn, rng=rng,
+            norm_first=cfg.norm_first,
+            invert_padding_mask=cfg.bug_inverted_padding_mask)
     return out.astype(jnp.float32)
 
 

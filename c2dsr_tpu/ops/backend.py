@@ -19,3 +19,13 @@ def resolve(cfg: Config) -> str:
     if jax.default_backend() == "tpu" and cfg.mesh_model == 1:
         return "pallas"
     return "xla"
+
+
+def use_fused_encoder(cfg: Config) -> bool:
+    """Route the attention towers through the fused Pallas kernel
+    (ops/encoder_pallas.py) when the backend is Pallas and the tower shape
+    fits its constraints (post-norm, head dim a multiple of 8)."""
+    from c2dsr_tpu.ops import encoder_pallas
+    return (resolve(cfg) == "pallas"
+            and encoder_pallas.supported(cfg.n_head, cfg.d_latent,
+                                         cfg.norm_first))
