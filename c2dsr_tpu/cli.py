@@ -66,7 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--path_data", type=str, default=None,
                    help="processed-cache dir (default: data/<Dataset>)")
     p.add_argument("--ckpt", type=str, default=None,
-                   help="checkpoint dir (save-on-best + resume)")
+                   help="checkpoint dir (save-on-best; see --resume)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --ckpt if a checkpoint exists there "
+                        "(restores params/opt-state/step and the "
+                        "best-validation bookkeeping)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the first training "
+                        "epoch to this directory")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans and fail fast on non-finite "
+                        "losses")
     p.add_argument("--synthetic", type=int, default=0, metavar="N_USERS",
                    help="run on N synthetic users instead of raw data")
     p.add_argument("--bug_inverted_padding_mask", action="store_true")

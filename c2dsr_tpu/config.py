@@ -93,6 +93,13 @@ class Config:
     # kernel-ready at rest, with no per-step pad copies (profiled ~0.9ms/step
     # at FK scale).  Must be >= lcm(8, mesh_model).
     vocab_pad_multiple: int = 1024
+    # Resume from the --ckpt directory if a checkpoint exists there
+    # (params + opt state + step + best-validation bookkeeping).
+    resume: bool = False
+    # Write a jax.profiler trace of the first training epoch here.
+    profile_dir: Optional[str] = None
+    # Debug mode: enable jax_debug_nans and fail fast on non-finite losses.
+    debug_nans: bool = False
 
     # --- Reference bug-parity switches (SURVEY.md section 2 quirks) --------
     # Quirk 1: reference inverts the key-padding mask (encoders.py:33): real

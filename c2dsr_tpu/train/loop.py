@@ -4,7 +4,14 @@ Reproduces main.py:100-148 — per epoch: train over all batches (graph
 propagation inside each step), validate with ranking, compute the improvement
 scalar, keep the test metrics from the best-validation epoch, early-stop
 after ``es_patience`` non-improving epochs.  Adds what the reference lacks:
-throughput counters, checkpoint save-on-best, resume.
+throughput counters, checkpoint save-on-best + resume (cfg.resume restores
+params/opt-state/step AND the best-validation bookkeeping, continuing from
+the best epoch's state), first-epoch ``jax.profiler`` tracing
+(cfg.profile_dir), and a NaN-failfast debug mode (cfg.debug_nans).
+
+Loss accumulation stays ON DEVICE across the epoch (one host sync at the
+epoch boundary) so step dispatch overlaps execution — a per-step ``float()``
+would serialize host and device every batch.
 """
 
 from __future__ import annotations
@@ -64,24 +71,63 @@ class Experiment:
         self.convolve_eval, self.rank_step = ranker.make_eval_fns(
             cfg, spec, graphs, mesh=self.mesh)
         self._reset_accum = jax.jit(optim.reset_grad_accum)
+        self._profiled = False
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        # resume: restore TrainState + best-validation bookkeeping
+        self._start_epoch = 0
+        self._best = {"imp_val_best": -1.0, "res_test": [0.0] * 13,
+                      "es_counter": 0}
+        if ckpt_path and cfg.resume and ckpt_mod.exists(ckpt_path):
+            restored = ckpt_mod.restore(ckpt_path, template=self.state)
+            self.state = step_mod.TrainState(*restored)
+            if self.mesh is not None:
+                from c2dsr_tpu.parallel import mesh as mesh_mod
+                self.state = jax.device_put(
+                    self.state,
+                    mesh_mod.state_shardings(self.state, self.mesh))
+            meta = ckpt_mod.load_meta(ckpt_path)
+            self._start_epoch = int(meta.get("epoch", 0))
+            for k in self._best:
+                if k in meta:
+                    self._best[k] = meta[k]
+            if self.noter:
+                self.noter.log_msg(
+                    f"[Info] resumed from {ckpt_path} at epoch "
+                    f"{self._start_epoch} (best improvement "
+                    f"{self._best['imp_val_best']:.4f})")
 
     # ----- phases ----------------------------------------------------------
     def run_train_epoch(self):
         t0 = time.time()
-        tot = np.zeros(3)
+        tot = jnp.zeros(3, jnp.float32)     # device-resident epoch totals
         n = 0
         if self.cfg.bug_epoch_grad_accum:
             # reference parity: optimizer.zero_grad() once per epoch
             # (trainer.py:42) — clear the running gradient sum
             self.state = self.state._replace(
                 opt_state=self._reset_accum(self.state.opt_state))
-        for batch in self.train_iter.epoch():
-            self.state, aux = self.train_step(self.state, batch)
-            bs = batch["seq_share"].shape[0]
-            tot += np.array([float(aux["loss"]), float(aux["loss_rec"]),
-                             float(aux["loss_mi"])]) * bs
-            n += bs
+        profiling = bool(self.cfg.profile_dir) and not self._profiled
+        if profiling:
+            jax.profiler.start_trace(self.cfg.profile_dir)
+        try:
+            for batch in self.train_iter.epoch():
+                self.state, aux = self.train_step(self.state, batch)
+                bs = batch["seq_share"].shape[0]
+                tot = tot + jnp.stack([aux["loss"], aux["loss_rec"],
+                                       aux["loss_mi"]]) * bs
+                n += bs
+        finally:
+            if profiling:
+                jax.block_until_ready(tot)
+                jax.profiler.stop_trace()
+                self._profiled = True
+        tot = np.asarray(tot)               # the single host sync
         dt = time.time() - t0
+        if self.cfg.debug_nans and not np.isfinite(tot).all():
+            raise FloatingPointError(
+                f"non-finite training loss: {tot.tolist()}")
         loss_tr, loss_rec, loss_mi = (tot / max(n, 1)).tolist()
         if self.noter:
             self.noter.log_train(loss_tr, loss_rec, loss_mi, dt,
@@ -96,11 +142,11 @@ class Experiment:
     # ----- full experiment -------------------------------------------------
     def run(self) -> Dict[str, object]:
         cfg = self.cfg
-        imp_val_best = -1.0
-        res_test_imp = [0.0] * 13
-        es_counter = 0
-        epoch = 0
-        for epoch in range(1, cfg.n_epoch + 1):
+        imp_val_best = float(self._best["imp_val_best"])
+        res_test_imp = list(self._best["res_test"])
+        es_counter = int(self._best["es_counter"])
+        epoch = self._start_epoch
+        for epoch in range(self._start_epoch + 1, cfg.n_epoch + 1):
             if self.noter:
                 self.noter.log_msg(f"\n[Epoch {epoch}]")
             self.run_train_epoch()
@@ -116,9 +162,13 @@ class Experiment:
                                                      cfg.benchmark)
                 if self.noter:
                     self.noter.log_evaluate("test", res_test_imp)
-                if self.ckpt_path:
-                    ckpt_mod.save(self.ckpt_path, self.state)
                 es_counter = 0
+                if self.ckpt_path:
+                    ckpt_mod.save(self.ckpt_path, self.state,
+                                  meta={"epoch": epoch,
+                                        "imp_val_best": imp_val_best,
+                                        "res_test": list(res_test_imp),
+                                        "es_counter": es_counter})
             else:
                 es_counter += 1
                 if self.noter:
