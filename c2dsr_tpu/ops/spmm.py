@@ -25,6 +25,9 @@ class CooDevice(NamedTuple):
 
     bk_fwd/bk_bwd are the Pallas kernel's packed layouts (A and A^T,
     ops/spmm_pallas.py); None when built with blocked=False.
+    a2a_plan is the precomputed all-to-all exchange schedule for the
+    row-sharded regime (parallel/embed.py plan_spmm_a2a); attach with
+    ``attach_a2a_plan`` when mesh_model > 1.
     """
 
     rows: jax.Array   # int32 [nnz]
@@ -33,6 +36,21 @@ class CooDevice(NamedTuple):
     n: int            # static
     bk_fwd: object = None
     bk_bwd: object = None
+    a2a_plan: object = None
+
+
+def attach_a2a_plan(graph: "CooDevice", n_rows_padded: int,
+                    n_shards: int) -> "CooDevice":
+    """Precompute the sharded-SpMM exchange schedule for this graph.
+
+    ``n_rows_padded`` = the (padded) table row count the propagation runs
+    over (config.padded_sizes), so the plan's row blocks line up with the
+    table sharding."""
+    from c2dsr_tpu.parallel import embed
+    plan = embed.plan_spmm_a2a(np.asarray(graph.rows), np.asarray(graph.cols),
+                               np.asarray(graph.vals), n_rows_padded,
+                               n_shards)
+    return graph._replace(a2a_plan=plan)
 
 
 def device_graph(g, blocked: bool = True) -> CooDevice:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def sharded_full_rank(h: jax.Array, w: jax.Array, b: jax.Array,
@@ -90,7 +90,7 @@ def sharded_topk(h: jax.Array, w: jax.Array, b: jax.Array, k: int,
         return vg, ig
 
     # every shard computes the identical final top-k after the all_gather;
-    # replication can't be statically inferred, hence check_rep=False
+    # replication can't be statically inferred, hence check_vma=False
     return shard_map(kernel, mesh=mesh,
                      in_specs=(P(), P(None, axis), P(axis)),
-                     out_specs=(P(), P()), check_rep=False)(h, w, b)
+                     out_specs=(P(), P()), check_vma=False)(h, w, b)

@@ -86,8 +86,14 @@ class ShardedOps(LocalOps):
                 key = jax.random.fold_in(rng, i)
                 keep = jax.random.bernoulli(key, 1.0 - dropout, cur.shape)
                 cur = jnp.where(keep, cur / (1.0 - dropout), 0.0)
-            cur = embed.sharded_spmm(graph.rows, graph.cols, graph.vals,
-                                     cur, self.mesh)
+            if getattr(graph, "a2a_plan", None) is not None:
+                # scalable path: precomputed all_to_all schedule, per-device
+                # traffic O(unique-sources/M * d) instead of the masked-psum
+                # path's O(nnz * d) replicated broadcast
+                cur = embed.sharded_spmm_a2a(graph.a2a_plan, cur, self.mesh)
+            else:
+                cur = embed.sharded_spmm(graph.rows, graph.cols, graph.vals,
+                                         cur, self.mesh)
             h_sum = h_sum + cur
         return h_sum / (n_layers + 1)
 

@@ -65,6 +65,16 @@ class Experiment:
             self.mesh = mesh_mod.make_mesh(cfg.mesh_data, cfg.mesh_model)
             self.state = jax.device_put(
                 self.state, mesh_mod.state_shardings(self.state, self.mesh))
+            if cfg.mesh_model > 1:
+                # precompute the all-to-all SpMM schedules for both graphs
+                from c2dsr_tpu.config import padded_sizes
+                from c2dsr_tpu.ops import spmm as spmm_mod
+                n_p = padded_sizes(cfg, spec)[0]
+                self.graphs = graphs = c2dsr.Graphs(
+                    share=spmm_mod.attach_a2a_plan(graphs.share, n_p,
+                                                   cfg.mesh_model),
+                    specific=spmm_mod.attach_a2a_plan(graphs.specific, n_p,
+                                                      cfg.mesh_model))
 
         self.train_step = step_mod.make_train_step(
             cfg, spec, graphs, self.optimizer, self.k_step, mesh=self.mesh)

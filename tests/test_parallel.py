@@ -94,6 +94,61 @@ def test_sharded_spmm_matches_dense(mesh):
                                atol=1e-4)
 
 
+def _random_coo(n, nnz, seed):
+    rng = np.random.default_rng(seed)
+    rows = np.sort(rng.integers(0, n, nnz)).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    return rows, cols, vals
+
+
+def test_spmm_a2a_matches_dense(mesh):
+    n, nnz = 64, 200
+    rows, cols, vals = _random_coo(n, nnz, 12)
+    table = _table(n, seed=12)
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    plan = embed.plan_spmm_a2a(rows, cols, vals, n, mesh.shape["model"])
+    got = embed.sharded_spmm_a2a(plan, tbl, mesh)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(np.array(got), dense @ np.array(table),
+                               atol=1e-4)
+
+
+def test_spmm_a2a_skewed_graph(mesh):
+    """All edges land in ONE destination shard and read from one source
+    shard (worst-case skew): the per-pair capacity must stretch, not drop."""
+    n = 64
+    rng = np.random.default_rng(13)
+    rows = np.sort(rng.integers(0, 8, 120)).astype(np.int32)   # dest shard 0
+    cols = rng.integers(48, 64, 120).astype(np.int32)          # src shard 3
+    vals = rng.normal(size=120).astype(np.float32)
+    table = _table(n, seed=13)
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    plan = embed.plan_spmm_a2a(rows, cols, vals, n, mesh.shape["model"])
+    got = embed.sharded_spmm_a2a(plan, tbl, mesh)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(np.array(got), dense @ np.array(table),
+                               atol=1e-4)
+
+
+def test_spmm_a2a_grad_matches_dense(mesh):
+    n, nnz = 64, 150
+    rows, cols, vals = _random_coo(n, nnz, 14)
+    table = _table(n, seed=14)
+    tbl = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    plan = embed.plan_spmm_a2a(rows, cols, vals, n, mesh.shape["model"])
+    ct = jnp.asarray(np.random.default_rng(15).normal(size=(n, D)),
+                     jnp.float32)
+    g1 = jax.grad(lambda t: jnp.sum(embed.sharded_spmm_a2a(plan, t, mesh)
+                                    * ct))(tbl)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    g2 = dense.T @ np.array(ct)
+    np.testing.assert_allclose(np.array(g1), g2, atol=1e-4)
+
+
 def test_sharded_ce_matches_local(mesh):
     rng = np.random.default_rng(4)
     B, R, V_p, n_real = 8, 4, 32, 29
@@ -185,8 +240,14 @@ def test_sharded_train_step_matches_local(mesh):
     seqs = synthetic.generate_sequences(spec, 120, seed=11)
     train = preprocess.preprocess_train(seqs, spec, seed=11)
     gs, gp = build.build_graphs(seqs, spec)
+    from c2dsr_tpu.config import padded_sizes
+    n_p = padded_sizes(cfg_shard, spec)[0]
     graphs = c2dsr.Graphs(share=spmm.device_graph(gs),
                           specific=spmm.device_graph(gp))
+    # the sharded strategy takes the precomputed all-to-all SpMM schedule
+    graphs_s = c2dsr.Graphs(
+        share=spmm.attach_a2a_plan(graphs.share, n_p, 4),
+        specific=spmm.attach_a2a_plan(graphs.specific, n_p, 4))
     params = params_mod.init_params(jax.random.PRNGKey(0), cfg_local, spec)
     batch = {k: jnp.asarray(v[:16]) for k, v in train.items()}
     rng = jax.random.PRNGKey(5)
@@ -200,7 +261,7 @@ def test_sharded_train_step_matches_local(mesh):
     batch_s = {k: jax.device_put(v, mesh_mod.batch_sharding(mesh))
                for k, v in batch.items()}
     l_shard, aux_s = jax.jit(
-        lambda p, b: step_mod.loss_fn(p, graphs, b, rng, cfg_shard, spec,
+        lambda p, b: step_mod.loss_fn(p, graphs_s, b, rng, cfg_shard, spec,
                                       pops))(params_s, batch_s)
     np.testing.assert_allclose(float(l_shard), float(l_local), rtol=1e-4)
     np.testing.assert_allclose(float(aux_s["loss_rec"]),
