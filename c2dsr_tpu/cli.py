@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans and fail fast on non-finite "
                         "losses")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize (autodetects "
+                        "coordinator/process info on TPU pods)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (implies --distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0, metavar="N_USERS",
                    help="run on N synthetic users instead of raw data")
     p.add_argument("--bug_inverted_padding_mask", action="store_true")
@@ -90,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.distributed or args.coordinator_address:
+        # must run before any other JAX API touches the backend
+        from c2dsr_tpu.parallel import distributed
+        distributed.initialize(args.coordinator_address,
+                               args.num_processes, args.process_id)
 
     from c2dsr_tpu.config import Config, DataSpec, MAPPING_DATASET
     from c2dsr_tpu.data import preprocess, raw, synthetic

@@ -19,16 +19,31 @@ import numpy as np
 
 
 class BatchIterator:
-    """Reshuffling batch iterator over a packed split."""
+    """Reshuffling batch iterator over a packed split.
+
+    Multi-host: pass (process_index, process_count).  Every process draws
+    the SAME permutation (same seed), each yields only its contiguous slice
+    of every global batch — assemble the global array with
+    ``parallel.mesh.global_batch``.  Global batches are padded so the slice
+    boundaries divide evenly."""
 
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
                  shuffle: bool, seed: int = 0, drop_last: bool = False,
-                 pad_to_multiple: Optional[int] = None):
+                 pad_to_multiple: Optional[int] = None,
+                 process_index: int = 0, process_count: int = 1):
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_to_multiple = pad_to_multiple
+        if process_count > 1:
+            assert batch_size % process_count == 0, (batch_size,
+                                                     process_count)
+            pad = pad_to_multiple or 1
+            self.pad_to_multiple = pad * process_count // _gcd(
+                pad, process_count)
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
         self.n = next(iter(data.values())).shape[0]
 
@@ -49,4 +64,15 @@ class BatchIterator:
                 pad = self.pad_to_multiple - len(sel) % self.pad_to_multiple
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for k, v in batch.items()}
+            if self.process_count > 1:
+                b = next(iter(batch.values())).shape[0]
+                m = b // self.process_count
+                lo = self.process_index * m
+                batch = {k: v[lo:lo + m] for k, v in batch.items()}
             yield batch
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a

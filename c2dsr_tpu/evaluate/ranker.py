@@ -83,7 +83,14 @@ def make_eval_fns(cfg: Config, spec: DataSpec, graphs: c2dsr.Graphs,
         return c2dsr.convolve_graph(params, graphs, cfg, spec, rng=None,
                                     pops=pops)
 
-    @functools.partial(jax.jit, static_argnames=("domain", "mode"))
+    # ranks come back replicated so every process can read them directly
+    # (multi-host: np.asarray works on fully-replicated global arrays)
+    kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        kw["out_shardings"] = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, static_argnames=("domain", "mode"), **kw)
     def rank_step(params, hi, batch, domain: str, mode: str):
         return _rank_kernel(params, hi, batch, cfg, spec, domain, mode, pops)
 
@@ -114,15 +121,21 @@ def _batches(group: Dict[str, np.ndarray], batch_size: int):
 
 
 def evaluate_split(params, hi, data: Dict[str, np.ndarray], rank_step,
-                   cfg: Config, mode: str | None = None
+                   cfg: Config, mode: str | None = None, to_global=None
                    ) -> Tuple[List[int], List[int]]:
     """Rank every eval example; returns (ranks_a, ranks_b) as Python lists,
-    the exact interface of the reference's evaluate loop (trainer.py:62-71)."""
+    the exact interface of the reference's evaluate loop (trainer.py:62-71).
+
+    ``to_global`` (multi-host): maps a host-replicated numpy chunk to a
+    global data-sharded batch (every process holds the full eval split and
+    feeds its slice; ranks come back replicated from rank_step)."""
     mode = mode or cfg.eval_mode
     groups = partition_by_domain(data)
     ranks = {"a": [], "b": []}
     for dom in ("a", "b"):
         for chunk, n_real in _batches(groups[dom], cfg.batch_size_eval):
+            if to_global is not None:
+                chunk = to_global(chunk)
             r = rank_step(params, hi, chunk, dom, mode)
             ranks[dom].extend(np.asarray(r)[:n_real].tolist())
     return ranks["a"], ranks["b"]

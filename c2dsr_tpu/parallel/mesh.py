@@ -69,6 +69,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def global_batch(local: Any, mesh: Mesh):
+    """Assemble a global data-sharded batch from per-process local slices.
+
+    ``local`` is this process's contiguous slice of the global batch
+    (pipeline.BatchIterator process sharding); the concatenation across
+    processes in process order IS the global batch — exactly the layout
+    P('data') induces, since make_mesh reshapes jax.devices() (which sorts
+    by process)."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda v: jax.make_array_from_process_local_data(sh, np.asarray(v)),
+        local)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -45,8 +45,14 @@ class Experiment:
         self.cfg, self.spec, self.graphs = cfg, spec, graphs
         self.noter = noter
         self.ckpt_path = ckpt_path
+        # multi-host: every process computes the same permutation and feeds
+        # its contiguous slice of each global batch (parallel/distributed.py)
+        self._pc = jax.process_count()
+        self._pi = jax.process_index()
         self.train_iter = BatchIterator(train_data, cfg.batch_size,
-                                        shuffle=True, seed=cfg.seed)
+                                        shuffle=True, seed=cfg.seed,
+                                        process_index=self._pi,
+                                        process_count=self._pc)
         self.val_data, self.test_data = val_data, test_data
         self.n_tr = self.train_iter.n
 
@@ -123,8 +129,11 @@ class Experiment:
             jax.profiler.start_trace(self.cfg.profile_dir)
         try:
             for batch in self.train_iter.epoch():
+                if self._pc > 1:
+                    from c2dsr_tpu.parallel import mesh as mesh_mod
+                    batch = mesh_mod.global_batch(batch, self.mesh)
                 self.state, aux = self.train_step(self.state, batch)
-                bs = batch["seq_share"].shape[0]
+                bs = batch["seq_share"].shape[0]     # global batch size
                 tot = tot + jnp.stack([aux["loss"], aux["loss_rec"],
                                        aux["loss_mi"]]) * bs
                 n += bs
@@ -146,8 +155,20 @@ class Experiment:
 
     def run_eval(self, data) -> tuple:
         hi = self.convolve_eval(self.state.params)
+        to_global = None
+        if self._pc > 1:
+            from c2dsr_tpu.parallel import mesh as mesh_mod
+
+            def to_global(chunk):
+                b = next(iter(chunk.values())).shape[0]
+                k = b // self._pc
+                lo = self._pi * k
+                return mesh_mod.global_batch(
+                    {kk: v[lo:lo + k] for kk, v in chunk.items()}, self.mesh)
+
         return ranker.evaluate_split(self.state.params, hi, data,
-                                     self.rank_step, self.cfg)
+                                     self.rank_step, self.cfg,
+                                     to_global=to_global)
 
     # ----- full experiment -------------------------------------------------
     def run(self) -> Dict[str, object]:
