@@ -2,13 +2,19 @@
 
 Protocol (matched to the reference's hot loop, trainer.py:47-49): each
 training step includes the full per-batch graph propagation + 6-term loss +
-AdamW update at Food-Kitchen scale (64,094 items, d=128, batch 512, len 15).
-The baseline is the unmodified PyTorch reference driven by
-bench/baseline_torch.py on the same machine (CPU — the reference's only
-available device here), cached in bench_baseline.json.
+AdamW update at Food-Kitchen scale (64,094 items, d=128, batch 512, len 15),
+with the graph built from the REAL FK train-set user count (34,117 users —
+bench/fk_graph.py) so SpMM cost is honest.  The baseline is the unmodified
+PyTorch reference driven by bench/baseline_torch.py on the same machine
+(CPU — the reference's only portable device here), cached in
+bench_baseline.json.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Extra modes (each MERGES its section into BENCH_DETAILS.json):
+  --kernels   per-kernel roofline microbench (bench/kernel_bench.py)
+  --scaled    10M-item scaled-synthetic per-op bench (bench/scaled_bench.py)
 """
 
 from __future__ import annotations
@@ -20,55 +26,75 @@ import time
 
 import numpy as np
 
-N_ITEM_A, N_ITEM_B = 29207, 34886       # Food-Kitchen (paper Table 1)
-N_USERS = 8192
 BATCH = 512
-LEN_MAX = 15
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_cache")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+DETAILS = os.path.join(ROOT, "BENCH_DETAILS.json")
 
 
-def _data(spec):
-    from c2dsr_tpu.data import preprocess, synthetic
-
-    os.makedirs(CACHE, exist_ok=True)
-    f = os.path.join(CACHE, f"train_{N_USERS}_{spec.n_item}.npz")
-    if os.path.exists(f):
-        with np.load(f) as z:
-            train = {k: z[k] for k in z.files}
-        seqs = None
-    else:
-        seqs = synthetic.generate_sequences(spec, N_USERS, seed=0)
-        train = preprocess.preprocess_train(seqs, spec, seed=0)
-        np.savez(f, **train)
-    gf = os.path.join(CACHE, f"graph_{N_USERS}_{spec.n_item}.npz")
-    if os.path.exists(gf):
-        with np.load(gf) as z:
-            g = {k: z[k] for k in z.files}
-    else:
-        from c2dsr_tpu.data import synthetic as syn
-        from c2dsr_tpu.graph import build
-        if seqs is None:
-            seqs = syn.generate_sequences(spec, N_USERS, seed=0)
-        gs, gp = build.build_graphs(seqs, spec)
-        g = {"s_rows": gs.rows, "s_cols": gs.cols, "s_vals": gs.vals,
-             "p_rows": gp.rows, "p_cols": gp.cols, "p_vals": gp.vals}
-        np.savez(gf, **g)
-    return train, g
+def _merge_details(update: dict) -> None:
+    details = {}
+    if os.path.exists(DETAILS):
+        with open(DETAILS) as f:
+            details = json.load(f)
+    details.update(update)
+    with open(DETAILS, "w") as f:
+        json.dump(details, f, indent=1)
 
 
-def main():
+def _train_step_time(cfg, spec, graphs, train, n_steps=30):
     import jax
-
-    from c2dsr_tpu.config import Config, DataSpec
-    from c2dsr_tpu.graph.build import CooGraph
-    from c2dsr_tpu.model import c2dsr, params as params_mod
-    from c2dsr_tpu.ops import spmm
+    import jax.numpy as jnp
+    from c2dsr_tpu.model import params as params_mod
     from c2dsr_tpu.train import optim, step as step_mod
 
+    params = params_mod.init_params(jax.random.PRNGKey(0), cfg, spec)
+    optimizer = optim.make_optimizer(cfg, steps_per_epoch=16)
+    state = step_mod.init_state(params, optimizer)
+    train_step = step_mod.make_train_step(cfg, spec, graphs, optimizer,
+                                          jax.random.PRNGKey(1))
+    batches = []
+    for i in range(4):
+        s = i * BATCH
+        batches.append({k: jnp.asarray(v[s:s + BATCH])
+                        for k, v in train.items()})
+    for b in batches[:2]:                      # warmup / compile
+        state, aux = train_step(state, b)
+    jax.block_until_ready(aux["loss"])
+    t0 = time.time()
+    for i in range(n_steps):
+        state, aux = train_step(state, batches[i % len(batches)])
+    jax.block_until_ready(aux["loss"])
+    dt = (time.time() - t0) / n_steps
+    return dt, state
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    import jax
+
+    from bench import fk_graph
+    from c2dsr_tpu.config import Config
+    from c2dsr_tpu.graph.build import CooGraph
+    from c2dsr_tpu.model import c2dsr
+    from c2dsr_tpu.ops import spmm
+
+    if "--kernels" in argv:
+        from bench import kernel_bench
+        _merge_details({"kernels": kernel_bench.run()})
+        print(json.dumps({"metric": "kernel_bench", "value": 1,
+                          "unit": "done", "vs_baseline": None}))
+        return 0
+    if "--scaled" in argv:
+        from bench import scaled_bench
+        _merge_details({"scaled": scaled_bench.run()})
+        print(json.dumps({"metric": "scaled_bench", "value": 1,
+                          "unit": "done", "vs_baseline": None}))
+        return 0
+
     cfg = Config(data="fk", batch_size=BATCH)
-    spec = DataSpec(n_item_a=N_ITEM_A, n_item_b=N_ITEM_B, len_max=LEN_MAX)
-    train, g = _data(spec)
+    spec = fk_graph.spec()
+    train = fk_graph.load_train()
+    g = fk_graph.load_or_build()
     n = spec.n_item
     graphs = c2dsr.Graphs(
         share=spmm.device_graph(
@@ -76,33 +102,15 @@ def main():
         specific=spmm.device_graph(
             CooGraph(g["p_rows"], g["p_cols"], g["p_vals"], n)))
 
-    params = params_mod.init_params(jax.random.PRNGKey(0), cfg, spec)
-    optimizer = optim.make_optimizer(cfg, steps_per_epoch=16)
-    state = step_mod.init_state(params, optimizer)
-    train_step = step_mod.make_train_step(cfg, spec, graphs, optimizer,
-                                          jax.random.PRNGKey(1))
+    step_s, state = _train_step_time(cfg, spec, graphs, train)
+    ex_per_s = BATCH / step_s
 
-    import jax.numpy as jnp
-    batches = []
-    for i in range(4):
-        s = i * BATCH
-        batches.append({k: jnp.asarray(v[s:s + BATCH])
-                        for k, v in train.items()})
-
-    # warmup / compile
-    for b in batches[:2]:
-        state, aux = train_step(state, b)
-    jax.block_until_ready(aux["loss"])
-
-    n_steps = 30
-    t0 = time.time()
-    for i in range(n_steps):
-        state, aux = train_step(state, batches[i % len(batches)])
-    jax.block_until_ready(aux["loss"])
-    dt = time.time() - t0
-    ex_per_s = n_steps * BATCH / dt
+    # bf16 activations variant (params stay f32)
+    step_s_bf16, _ = _train_step_time(cfg.with_(compute_dtype="bfloat16"),
+                                      spec, graphs, train, n_steps=20)
 
     # --- full-itemset eval throughput (items scored+ranked per second) ----
+    import jax.numpy as jnp
     from c2dsr_tpu.data import preprocess, synthetic
     from c2dsr_tpu.evaluate import ranker
 
@@ -128,26 +136,25 @@ def main():
     eval_items_per_s = (eb["a"][0] * eb["a"][1] + eb["b"][0] * eb["b"][1]) / 2
 
     vs = None
-    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
+    base_file = os.path.join(ROOT, "bench_baseline.json")
     if os.path.exists(base_file):
         with open(base_file) as f:
             base = json.load(f)
         vs = ex_per_s / base["examples_per_s"]
 
-    details = {
+    _merge_details({
         "train_examples_per_s_chip": round(ex_per_s, 1),
-        "train_step_ms": round(dt / n_steps * 1000, 2),
+        "train_step_ms": round(step_s * 1000, 2),
+        "train_step_ms_bf16": round(step_s_bf16 * 1000, 2),
         "eval_full_rank_examples_per_s": round(eval_ex_per_s, 1),
         "eval_full_rank_items_per_s": round(eval_items_per_s, 1),
         "config": {"n_item": spec.n_item, "d": cfg.d_latent,
-                   "batch": BATCH, "len_max": LEN_MAX},
+                   "batch": BATCH, "len_max": spec.len_max,
+                   "graph_users": fk_graph.N_USERS,
+                   "nnz_share": int(g["s_rows"].shape[0])},
         "baseline_examples_per_s_torch_cpu": (
             base["examples_per_s"] if vs else None),
-    }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAILS.json"), "w") as f:
-        json.dump(details, f, indent=1)
+    })
 
     print(json.dumps({
         "metric": "train_examples_per_s_chip",
@@ -155,6 +162,7 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }))
+    return 0
 
 
 if __name__ == "__main__":

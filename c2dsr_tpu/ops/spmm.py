@@ -91,20 +91,23 @@ def spmm(graph: CooDevice, h: jax.Array) -> jax.Array:
 
 def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,
                   dropout: float, rng: jax.Array | None,
-                  backend: str = "xla", interpret: bool = False) -> jax.Array:
+                  backend: str = "xla", interpret: bool = False,
+                  gather_dtype=jnp.float32) -> jax.Array:
     """LightGCN-style propagation: mean of all layer outputs incl. the input
     (models/encoders.py:42-48).  Dropout before each spmm in train mode.
 
     backend="pallas" routes each hop through the blocked MXU kernel
     (ops/spmm_pallas.py) when the graph carries packed layouts and the
     feature dim is lane-aligned; otherwise falls back to gather+segment-sum.
+    gather_dtype=bfloat16 (Pallas path only) halves the [nnz, d] gather
+    round-trip — see spmm_pallas.blocked_spmm_impl.
     """
     step = lambda x: spmm(graph, x)
     if backend == "pallas" and graph.bk_fwd is not None:
         from c2dsr_tpu.ops import spmm_pallas
         if spmm_pallas.supports(h.shape[1]):
             step = spmm_pallas.make_blocked_spmm(graph.bk_fwd, graph.bk_bwd,
-                                                 interpret)
+                                                 interpret, gather_dtype)
     h_sum = h
     cur = h
     for i in range(n_layers):

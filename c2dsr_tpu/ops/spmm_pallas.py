@@ -96,12 +96,19 @@ def _kernel(rb_ref, rowloc_ref, gathered_ref, out_ref, *, r_block: int):
 
     e_block = rowloc_ref.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (r_block, e_block), 0)
-    onehot = (iota == rowloc_ref[0]).astype(jnp.float32)      # [R, E]
-    # HIGHEST: keep f32 accuracy (the op is bandwidth-bound; extra MXU
-    # passes are free), matching the XLA segment-sum path at ~1e-6
+    onehot = (iota == rowloc_ref[0]).astype(gathered_ref.dtype)   # [R, E]
+    # f32 buffers: HIGHEST precision + f32 accumulate — the op is
+    # bandwidth-bound, extra MXU passes are free, and it matches the XLA
+    # segment-sum path at ~1e-6.  bf16 buffers (gather_dtype): Mosaic only
+    # allows DEFAULT precision, which is exact here anyway — the one-hot
+    # lhs is exactly representable and accumulation stays f32, so error is
+    # bounded by bf16 rounding of the gathered values.
+    precision = (jax.lax.Precision.HIGHEST
+                 if gathered_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     part = jnp.dot(onehot, gathered_ref[:],
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)       # [R, d]
+                   precision=precision)                       # [R, d]
 
     @pl.when(first)
     def _():
@@ -113,14 +120,25 @@ def _kernel(rb_ref, rowloc_ref, gathered_ref, out_ref, *, r_block: int):
 
 
 def blocked_spmm_impl(bk: BlockedCoo, h: jax.Array,
-                      interpret: bool = False) -> jax.Array:
-    """``adj @ h`` for a prepped graph.  h: [n_rows, d] f32 -> [n_rows, d]."""
+                      interpret: bool = False,
+                      gather_dtype=jnp.float32) -> jax.Array:
+    """``adj @ h`` for a prepped graph.  h: [n_rows, d] f32 -> [n_rows, d].
+
+    gather_dtype=bfloat16 halves the [nnz, d] intermediate's HBM round-trip
+    (the dominant traffic; the XLA gather runs ~4x off peak on random rows)
+    — ~40% faster per hop at FK scale, error bounded by bf16 rounding of
+    the gathered values (accumulation stays f32)."""
     assert h.shape[0] == bk.n_rows, (h.shape, bk.n_rows)
     d = h.shape[1]
     n_chunk = bk.rb.shape[0]
     e_block = bk.rowloc.shape[1]
-    gathered = h[bk.cols] * bk.vals[:, None].astype(h.dtype)  # fused gather
-    gathered = gathered.astype(jnp.float32)
+    if jnp.dtype(gather_dtype) == jnp.float32:
+        gathered = (h[bk.cols] * bk.vals[:, None].astype(h.dtype)
+                    ).astype(jnp.float32)
+    else:
+        # cast the table ONCE (n*d/2 write), gather the smaller rows
+        gathered = (h.astype(gather_dtype)[bk.cols]
+                    * bk.vals[:, None].astype(gather_dtype))
 
     out = pl.pallas_call(
         lambda rb, rl, g, o: _kernel(rb, rl, g, o, r_block=R_BLOCK),
@@ -145,13 +163,15 @@ def blocked_spmm_impl(bk: BlockedCoo, h: jax.Array,
     return out[:bk.n_rows]
 
 
-def _apply(bk: BlockedCoo, h: jax.Array, interpret: bool) -> jax.Array:
+def _apply(bk: BlockedCoo, h: jax.Array, interpret: bool,
+           gather_dtype=jnp.float32) -> jax.Array:
     """Run the kernel on a table that may carry extra (edge-free) pad rows
     beyond the graph dim (vocab_pad_multiple in model/params.py): slice the
     prepped rows, propagate, zero-pad back (pad rows have no edges in
     either direction, so their output and gradient are exactly zero)."""
     n = h.shape[0]
-    out = blocked_spmm_impl(bk, h[:bk.n_rows].astype(jnp.float32), interpret)
+    out = blocked_spmm_impl(bk, h[:bk.n_rows].astype(jnp.float32), interpret,
+                            gather_dtype)
     if n > bk.n_rows:
         out = jnp.concatenate(
             [out, jnp.zeros((n - bk.n_rows, h.shape[1]), out.dtype)])
@@ -159,18 +179,18 @@ def _apply(bk: BlockedCoo, h: jax.Array, interpret: bool) -> jax.Array:
 
 
 def make_blocked_spmm(fwd: BlockedCoo, bwd: BlockedCoo,
-                      interpret: bool = False):
+                      interpret: bool = False, gather_dtype=jnp.float32):
     """Differentiable ``h -> adj @ h``; grad uses the transpose prep."""
 
     @jax.custom_vjp
     def f(h):
-        return _apply(fwd, h, interpret)
+        return _apply(fwd, h, interpret, gather_dtype)
 
     def f_fwd(h):
-        return _apply(fwd, h, interpret), None
+        return _apply(fwd, h, interpret, gather_dtype), None
 
     def f_bwd(_, g):
-        return (_apply(bwd, g, interpret),)
+        return (_apply(bwd, g, interpret, gather_dtype),)
 
     f.defvjp(f_fwd, f_bwd)
     return f

@@ -34,8 +34,10 @@ class LocalOps:
 
     def spmm_propagate(self, graph: spmm_mod.CooDevice, h: jax.Array,
                       n_layers: int, dropout: float, rng) -> jax.Array:
-        return spmm_mod.gcn_propagate(graph, h, n_layers, dropout, rng,
-                                      backend=backend_mod.resolve(self.cfg))
+        return spmm_mod.gcn_propagate(
+            graph, h, n_layers, dropout, rng,
+            backend=backend_mod.resolve(self.cfg),
+            gather_dtype=jnp.dtype(self.cfg.compute_dtype))
 
     def ce_rows(self, h, w, b, pad_logit, targets, n_real: int) -> jax.Array:
         if backend_mod.resolve(self.cfg) == "pallas":

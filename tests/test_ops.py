@@ -61,6 +61,22 @@ def test_blocked_spmm_matches_dense_interpret():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_blocked_spmm_bf16_gather_tolerance():
+    """gather_dtype=bfloat16 halves the intermediate's HBM traffic; error
+    must stay within bf16 rounding of the inputs (selection + accumulation
+    are exact)."""
+    from c2dsr_tpu.ops import spmm_pallas
+    g = _random_graph(7)
+    bk = spmm_pallas.prep(g.rows, g.cols, g.vals, int(g.n))
+    h = np.random.default_rng(7).normal(size=(g.n, 128)).astype(np.float32)
+    got = np.array(spmm_pallas.blocked_spmm_impl(
+        bk, jnp.asarray(h), interpret=True, gather_dtype=jnp.bfloat16))
+    want = g.to_dense() @ h
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-2 * max(scale, 1.0))
+    assert got.dtype == np.float32
+
+
 def test_blocked_spmm_grad_matches_xla_path():
     from c2dsr_tpu.ops import spmm_pallas
     g = _random_graph(5)

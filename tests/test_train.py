@@ -52,6 +52,21 @@ def test_loss_composition(setup):
     assert np.isfinite(float(loss))
 
 
+def test_bf16_compute_path_tolerance(setup):
+    """compute_dtype=bfloat16 (tower activations; bf16 SpMM gather on the
+    Pallas path) must track the f32 loss closely."""
+    cfg, spec, train, val, graphs = setup
+    params = params_mod.init_params(jax.random.PRNGKey(0), cfg, spec)
+    batch = {k: jnp.asarray(v[:16]) for k, v in train.items()}
+    rng = jax.random.PRNGKey(2)
+    l32, aux32 = step_mod.loss_fn(params, graphs, batch, rng, cfg, spec)
+    l16, aux16 = step_mod.loss_fn(params, graphs, batch, rng,
+                                  cfg.with_(compute_dtype="bfloat16"), spec)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
+    np.testing.assert_allclose(float(aux16["loss_rec"]),
+                               float(aux32["loss_rec"]), rtol=2e-2)
+
+
 def test_grads_respect_pad_row(setup):
     """padding_idx semantics: no gradient into the pad embedding row."""
     cfg, spec, train, _, graphs = setup
