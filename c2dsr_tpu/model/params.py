@@ -112,5 +112,23 @@ def init_params(key: jax.Array, cfg: Config, spec: DataSpec) -> Dict[str, Any]:
     return params
 
 
+def init_params_sharded(key: jax.Array, cfg: Config, spec: DataSpec,
+                        mesh) -> Dict[str, Any]:
+    """Initialize directly INTO the mesh sharding rules: each device
+    materializes only its shard of the big tables (item rows / classifier
+    columns over 'model'), never a replicated full copy — required at the
+    10M-row scaled config where one full f32 table is ~20 GB.
+
+    jit with out_shardings partitions the counter-based RNG init itself, so
+    peak per-device memory is the shard size, not the table size."""
+    import functools
+    from c2dsr_tpu.parallel import mesh as mesh_mod
+
+    fn = functools.partial(init_params, cfg=cfg, spec=spec)
+    shapes = jax.eval_shape(fn, key)
+    shardings = mesh_mod.params_shardings(shapes, mesh)
+    return jax.jit(fn, out_shardings=shardings)(key)
+
+
 def param_count(params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
