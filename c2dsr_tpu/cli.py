@@ -59,8 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="sampled")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=("float32", "bfloat16"))
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="activation/matmul dtype; auto = bfloat16 on TPU, "
+                        "float32 elsewhere (params always f32)")
     p.add_argument("--path_raw", type=str, default=None,
                    help="override raw data dir (default: data/raw/<Dataset>)")
     p.add_argument("--path_data", type=str, default=None,

@@ -75,8 +75,10 @@ class Config:
     es_patience: int = 10
 
     # --- TPU-build-only knobs (no reference counterpart) -------------------
-    # Numerics for activations/matmuls; params stay f32.
-    compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
+    # Numerics for activations/matmuls; params stay f32.  "auto" resolves to
+    # bfloat16 on TPU (measured faster at FK scale with matched quality,
+    # tests/test_train.py) and float32 elsewhere; use resolved_compute_dtype().
+    compute_dtype: str = "auto"
     # Kernel backend: "xla" (portable) or "pallas" (TPU fused kernels).
     kernel_backend: str = "auto"    # auto -> pallas on TPU, xla elsewhere
     # Mesh shape: data-parallel x model-parallel.  (1, 1) = single chip.
@@ -89,10 +91,12 @@ class Config:
     # multiple: keeps the last dims tileable on the MXU and makes row/vocab
     # sharding divisible by the model mesh axis.  Padded rows are never
     # indexed; padded logit columns are masked to -inf in loss and ranking.
-    # Default 1024 = the fused-CE kernel's vocab block: classifiers are then
-    # kernel-ready at rest, with no per-step pad copies (profiled ~0.9ms/step
-    # at FK scale).  Must be >= lcm(8, mesh_model).
-    vocab_pad_multiple: int = 1024
+    # Default 2048 = the fused-CE kernel's forward vocab block: classifiers
+    # are then kernel-ready at rest, with no per-step pad copies (profiled
+    # ~0.9ms/step at FK scale), and the forward runs its fastest measured
+    # block shape (bv=2048, see ops/fused_ce._pick_blocks).  Must be
+    # >= lcm(8, mesh_model).
+    vocab_pad_multiple: int = 2048
     # Resume from the --ckpt directory if a checkpoint exists there
     # (params + opt state + step + best-validation bookkeeping).
     resume: bool = False
@@ -125,6 +129,13 @@ class Config:
 
     def resolved_len_max(self) -> int:
         return 30 if self.data == "ee" else 15
+
+    def resolved_compute_dtype(self) -> str:
+        """'auto' -> bfloat16 on TPU, float32 elsewhere (params stay f32)."""
+        if self.compute_dtype != "auto":
+            return self.compute_dtype
+        import jax
+        return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
     def with_(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -109,7 +109,8 @@ def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
         # crucially, the backward scatter-adds into the tables — the chain
         # rule routes the single scattered cotangent to both tables.
         h = jnp.where(real, lk(hi + raw_table), 0.0)
-    h = (h * (cfg.d_latent ** 0.5)).astype(jnp.dtype(cfg.compute_dtype))
+    h = (h * (cfg.d_latent ** 0.5)).astype(
+        jnp.dtype(cfg.resolved_compute_dtype()))
     if backend_mod.use_fused_encoder(cfg):
         # fused Pallas tower: one kernel per pass, activations + weights in
         # VMEM, recompute-forward backward (ops/encoder_pallas.py)

@@ -191,9 +191,21 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, lse_ref, dlse_ref, dt_ref, tgt_ref,
         db_ref[:] = db_sc[:]
 
 
-def _pick_blocks(n: int, v: int) -> Tuple[int, int]:
+def _pick_blocks(n: int, v: int, d: int = 128, fwd: bool = False
+                 ) -> Tuple[int, int]:
+    """Block sizes per phase, measured on v5e at FK scale (N=10240, V=65536):
+
+    * forward is VPU-bound (exp + flash bookkeeping per logit); bv=2048
+      cuts grid steps 2x and measured 12% faster than bv=1024 (2.76ms vs
+      3.15ms).  Only safe when the [bn, bv] f32 logit temporaries fit VMEM
+      — gate on bn*d so large-d configs fall back.
+    * backward is MXU-bound at ~60% peak with bn=512/bv=1024; bv=2048
+      overflows VMEM at bn=512 and gains nothing at bn=256.
+    """
     bn = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
     bv = 1024 if v % 1024 == 0 else 512 if v % 512 == 0 else 256
+    if fwd and v % 2048 == 0 and bn * d <= 512 * 128:
+        bv = 2048
     if v % bv != 0:
         raise ValueError(f"vocab dim {v} must be a multiple of 256; "
                          "pad W/bias before calling the kernel")
@@ -217,7 +229,7 @@ def fused_ce(h, w, b_masked, pad_logit, targets, interpret=False):
 def _fused_ce_fwd_impl(h, w, b_masked, pad_logit, targets, interpret):
     n, d = h.shape
     v = w.shape[1]
-    bn, bv = _pick_blocks(n, v)
+    bn, bv = _pick_blocks(n, v, d, fwd=True)
     grid = (n // bn, v // bv)
     kernel = functools.partial(_fwd_kernel, bv=bv)
     lse, tlog = pl.pallas_call(
@@ -262,7 +274,7 @@ def _fused_ce_bwd(interpret, res, cts):
     dlse, dt = cts
     n, d = h.shape
     v = w.shape[1]
-    bn, bv = _pick_blocks(n, v)
+    bn, bv = _pick_blocks(n, v, d)
 
     if n * d * 4 <= _MERGED_DH_BYTES:
         dh, dw, db = pl.pallas_call(

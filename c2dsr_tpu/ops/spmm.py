@@ -53,7 +53,8 @@ def attach_a2a_plan(graph: "CooDevice", n_rows_padded: int,
     return graph._replace(a2a_plan=plan)
 
 
-def device_graph(g, blocked: bool = True) -> CooDevice:
+def device_graph(g, blocked: bool = True, r_block: int | None = None,
+                 e_block: int | None = None) -> CooDevice:
     """Upload a host CooGraph (graph/build.py) to device arrays.
 
     Pads nnz to a multiple of 1024 with zero-weight self-loops on row/col 0
@@ -69,8 +70,13 @@ def device_graph(g, blocked: bool = True) -> CooDevice:
     bk_fwd = bk_bwd = None
     if blocked:
         from c2dsr_tpu.ops import spmm_pallas
-        bk_fwd = spmm_pallas.prep(g.rows, g.cols, g.vals, int(g.n))
-        bk_bwd = spmm_pallas.prep(g.cols, g.rows, g.vals, int(g.n))
+        kw = {}
+        if r_block is not None:
+            kw["r_block"] = r_block
+        if e_block is not None:
+            kw["e_block"] = e_block
+        bk_fwd = spmm_pallas.prep(g.rows, g.cols, g.vals, int(g.n), **kw)
+        bk_bwd = spmm_pallas.prep(g.cols, g.rows, g.vals, int(g.n), **kw)
     return CooDevice(rows=jnp.asarray(rows[order]), cols=jnp.asarray(cols[order]),
                      vals=jnp.asarray(vals[order]), n=int(g.n),
                      bk_fwd=bk_fwd, bk_bwd=bk_bwd)

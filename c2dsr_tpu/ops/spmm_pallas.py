@@ -48,7 +48,9 @@ class BlockedCoo(NamedTuple):
     rowloc: jax.Array   # int32 [n_chunk, E] row id local to the row block
     rb: jax.Array       # int32 [n_chunk]    output row-block per chunk
     n_rows: int         # table rows this prep was built for
-    n_rows_pad: int     # n_rows rounded up to R_BLOCK
+    n_rows_pad: int     # n_rows rounded up to r_block
+    r_block: int = R_BLOCK   # output rows per block this prep was packed for
+    e_block: int = E_BLOCK   # edges per chunk this prep was packed for
 
 
 def prep(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
@@ -86,7 +88,8 @@ def prep(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         vals=jnp.asarray(np.concatenate(c_vals).reshape(-1), jnp.float32),
         rowloc=jnp.asarray(np.concatenate(c_rloc), jnp.int32),
         rb=jnp.asarray(np.array(c_rb), jnp.int32),
-        n_rows=int(n_rows), n_rows_pad=int(n_rows_pad))
+        n_rows=int(n_rows), n_rows_pad=int(n_rows_pad),
+        r_block=int(r_block), e_block=int(e_block))
 
 
 def _kernel(rb_ref, rowloc_ref, gathered_ref, out_ref, *, r_block: int):
@@ -140,8 +143,9 @@ def blocked_spmm_impl(bk: BlockedCoo, h: jax.Array,
         gathered = (h.astype(gather_dtype)[bk.cols]
                     * bk.vals[:, None].astype(gather_dtype))
 
+    r_block = bk.r_block
     out = pl.pallas_call(
-        lambda rb, rl, g, o: _kernel(rb, rl, g, o, r_block=R_BLOCK),
+        lambda rb, rl, g, o: _kernel(rb, rl, g, o, r_block=r_block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunk,),
@@ -151,11 +155,11 @@ def blocked_spmm_impl(bk: BlockedCoo, h: jax.Array,
                 pl.BlockSpec((1, 1, e_block), lambda i, rb: (i, 0, 0)),
                 pl.BlockSpec((e_block, d), lambda i, rb: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((R_BLOCK, d), lambda i, rb: (rb[i], 0)),
+            out_specs=pl.BlockSpec((r_block, d), lambda i, rb: (rb[i], 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((bk.n_rows_pad, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_chunk * R_BLOCK * e_block * d,
+            flops=2 * n_chunk * r_block * e_block * d,
             bytes_accessed=4 * (n_chunk * e_block * d + bk.n_rows_pad * d),
             transcendentals=0),
         interpret=interpret,

@@ -37,7 +37,7 @@ class LocalOps:
         return spmm_mod.gcn_propagate(
             graph, h, n_layers, dropout, rng,
             backend=backend_mod.resolve(self.cfg),
-            gather_dtype=jnp.dtype(self.cfg.compute_dtype))
+            gather_dtype=jnp.dtype(self.cfg.resolved_compute_dtype()))
 
     def ce_rows(self, h, w, b, pad_logit, targets, n_real: int) -> jax.Array:
         if backend_mod.resolve(self.cfg) == "pallas":
