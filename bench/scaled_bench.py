@@ -4,10 +4,11 @@ A 10M-row f32 table is ~20 GB — it cannot live on one chip, so this bench
 does what a capacity plan needs:
 
 1. **Measured per-op throughput on the real chip** at the largest feasible
-   vocab shard (2^21 rows x d=512 — i.e. one device's shard of a 10M-row
-   table split ~5 ways, or a 33M-row table split 16 ways): embedding
-   gather, fused-CE fwd+bwd over the shard, full-rank scoring over the
-   shard.  These are exactly the per-device ops of the sharded regime
+   vocab shard (2^20 rows x d=512 — i.e. one device's shard of a 10M-row
+   table split ~10 ways; beyond that the [d, V] classifier operand crosses
+   the 2^31-byte addressing limit and the kernel is rejected, see
+   ops/fused_ce._pick_blocks): embedding gather, fused-CE fwd+bwd over the
+   shard, full-rank scoring over the shard.  These are exactly the per-device ops of the sharded regime
    (model-axis collectives move [B, d] activations, negligible next to
    the [d, V/M] compute), so per-device shard time IS the step component.
 
@@ -35,7 +36,8 @@ import numpy as np
 
 V_FULL = 10_000_000
 D = 512
-V_MEAS = 1 << 21          # 2,097,152-row shard measured on the real chip
+V_MEAS = 1 << 20          # 1,048,576-row shard measured on the real chip
+                          # (d*V*4 = 2^31 B, the operand addressing limit)
 B, R = 512, 20            # train CE shapes
 B_RANK = 256              # full-rank eval rows per call (keeps [B, V] sane)
 HBM_PER_CHIP = 16e9       # v5e
@@ -130,12 +132,18 @@ def run() -> Dict:
     proj = []
     for m in (8, 16, 32):
         scale = (V_FULL / m) / V_MEAS
-        proj.append({
+        row = {
             "shards": m,
             "vocab_per_device": V_FULL // m,
             "ce_fwd_bwd_ms": round(t_ce * 1e3 * scale, 2),
             "full_rank_ms_per_256": round(t_rk * 1e3 * scale, 2),
-        })
+        }
+        if (V_FULL // m) * D * 4 > 2 ** 31:
+            # f32 [d, V/m] classifier operand would cross the 2^31-byte
+            # addressing limit — needs a bf16-at-rest classifier or two
+            # vocab-chunked kernel calls per shard
+            row["needs_bf16_classifier_or_chunking"] = True
+        proj.append(row)
 
     return {
         "config": {"v_full": V_FULL, "d": D, "v_measured": V_MEAS,

@@ -81,6 +81,9 @@ class Config:
     compute_dtype: str = "auto"
     # Kernel backend: "xla" (portable) or "pallas" (TPU fused kernels).
     kernel_backend: str = "auto"    # auto -> pallas on TPU, xla elsewhere
+    # Off-TPU, run shard-local Pallas kernels through the interpreter instead
+    # of falling back to XLA (fake-pod dryrun/tests of the sharded fast path).
+    pallas_interpret: bool = False
     # Mesh shape: data-parallel x model-parallel.  (1, 1) = single chip.
     mesh_data: int = 1
     mesh_model: int = 1

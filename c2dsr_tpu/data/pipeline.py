@@ -60,10 +60,19 @@ class BatchIterator:
         for s in range(0, stop, self.batch_size):
             sel = idx[s:min(s + self.batch_size, stop)]
             batch = {k: v[sel] for k, v in self.data.items()}
-            if self.pad_to_multiple and len(sel) % self.pad_to_multiple:
-                pad = self.pad_to_multiple - len(sel) % self.pad_to_multiple
-                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
-                         for k, v in batch.items()}
+            if self.pad_to_multiple:
+                # padded duplicate examples carry valid=0 so the loss masks
+                # them out exactly (train/step.loss_fn) — a padded multi-
+                # process batch then reproduces the reference's ragged-batch
+                # loss bit-for-bit.  Always emitted when padding is enabled,
+                # keeping the jitted step's input signature stable.
+                valid = np.ones(len(sel), np.int32)
+                if len(sel) % self.pad_to_multiple:
+                    pad = self.pad_to_multiple - len(sel) % self.pad_to_multiple
+                    batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                             for k, v in batch.items()}
+                    valid = np.concatenate([valid, np.zeros(pad, np.int32)])
+                batch["valid"] = valid
             if self.process_count > 1:
                 b = next(iter(batch.values())).shape[0]
                 m = b // self.process_count

@@ -185,8 +185,17 @@ def _sample_negatives(gt_local: int, pool_size: int, n_neg: int,
 def preprocess_evaluate(sequences: List[List[int]], spec: DataSpec,
                         n_neg_sample: int = 999, seed: int = 3407,
                         bug_truncated_b_neg_pool: bool = False,
+                        neg_lists: "np.ndarray | None" = None,
                         ) -> Dict[str, np.ndarray]:
-    """Build the packed eval (val/test) split (dataloader.py:163-228)."""
+    """Build the packed eval (val/test) split (dataloader.py:163-228).
+
+    ``neg_lists``: optional [n_examples, n_neg] int32 of DOMAIN-LOCAL
+    negative ids (B-domain ids are shared_id - n_item_a, matching the
+    reference's list_neg, dataloader.py:216-226) that REPLACES the sampled
+    negatives, aligned with the kept examples in sequence order.  Use this
+    to drop in negative lists exported from the reference's own dataset so
+    sampled-eval ranks are bit-comparable (SURVEY.md section 7: "ship the
+    exact negative lists as data")."""
     rng = np.random.default_rng(seed)
     L = spec.len_max
     pad = spec.idx_pad
@@ -247,16 +256,34 @@ def preprocess_evaluate(sequences: List[List[int]], spec: DataSpec,
         rows["gt_last"].append(gt_local)
         rows["list_neg"].append(neg)
 
-    return {k: np.asarray(v, dtype=np.int32) for k, v in rows.items()}
+    out = {k: np.asarray(v, dtype=np.int32) for k, v in rows.items()}
+    if neg_lists is not None:
+        neg_lists = np.asarray(neg_lists, dtype=np.int32)
+        if neg_lists.shape[0] != out["gt_last"].shape[0]:
+            raise ValueError(
+                f"neg_lists has {neg_lists.shape[0]} rows but the split kept "
+                f"{out['gt_last'].shape[0]} examples")
+        out["list_neg"] = neg_lists
+    return out
 
 
 def load_or_build_split(raw_dir: str, cache_dir: str, mode: str,
                         spec: DataSpec, n_neg_sample: int = 999,
                         seed: int = 3407,
                         bug_truncated_b_neg_pool: bool = False,
+                        neg_file: "str | None" = None,
                         ) -> Dict[str, np.ndarray]:
     """npz-cached preprocessing (analog of the reference's pickle caches,
-    dataloader.py:24-35)."""
+    dataloader.py:24-35).
+
+    ``neg_file``: optional .npy of [n_examples, n_neg] domain-local negative
+    ids replacing the sampled eval negatives (see preprocess_evaluate)."""
+    if neg_file is not None and mode != "train":
+        seqs = raw_mod.parse_interactions(raw_mod.split_path(raw_dir, mode))
+        return preprocess_evaluate(
+            seqs, spec, n_neg_sample=n_neg_sample, seed=seed,
+            bug_truncated_b_neg_pool=bug_truncated_b_neg_pool,
+            neg_lists=np.load(neg_file))
     tag = "bugneg" if (mode != "train" and bug_truncated_b_neg_pool) else "std"
     cache = os.path.join(cache_dir, f"{mode}.{tag}.npz")
     if os.path.exists(cache):

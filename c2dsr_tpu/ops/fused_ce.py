@@ -202,6 +202,12 @@ def _pick_blocks(n: int, v: int, d: int = 128, fwd: bool = False
     * backward is MXU-bound at ~60% peak with bn=512/bv=1024; bv=2048
       overflows VMEM at bn=512 and gains nothing at bn=256.
     """
+    if d * v * 4 > 2 ** 31:
+        raise ValueError(
+            f"classifier operand d*V = {d}x{v} exceeds 2 GiB — beyond the "
+            "32-bit per-operand addressing limit (observed to hang/"
+            "miscompile).  Shard the vocab (parallel/sharded_loss.py) so "
+            "each device's slice stays under 2^20 rows at d=512.")
     bn = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
     bv = 1024 if v % 1024 == 0 else 512 if v % 512 == 0 else 256
     if fwd and v % 2048 == 0 and bn * d <= 512 * 128:

@@ -80,9 +80,17 @@ def ce_mean_from_rows(rows: jax.Array, targets: jax.Array, n_real: int):
     return jnp.sum(rows) / jnp.maximum(n_valid, 1.0), n_valid
 
 
-def bce_with_logits(logits: jax.Array, label_is_one: bool) -> jax.Array:
+def bce_with_logits(logits: jax.Array, label_is_one: bool,
+                    weights: jax.Array | None = None) -> jax.Array:
     """Mean binary cross-entropy with logits against an all-ones or all-zeros
-    label tensor (trainer.py:113-117)."""
-    if label_is_one:
-        return jnp.mean(jax.nn.softplus(-logits))
-    return jnp.mean(jax.nn.softplus(logits))
+    label tensor (trainer.py:113-117).
+
+    ``weights``: optional per-example 0/1 validity [B] — the mean then runs
+    over valid examples only (multi-process pad rows, data/pipeline.py)."""
+    t = jax.nn.softplus(-logits) if label_is_one else jax.nn.softplus(logits)
+    if weights is None:
+        return jnp.mean(t)
+    w = weights.reshape(weights.shape[0],
+                        *([1] * (t.ndim - 1))).astype(t.dtype)
+    per_row = t.size // t.shape[0]
+    return jnp.sum(t * w) / jnp.maximum(jnp.sum(w) * per_row, 1.0)

@@ -101,6 +101,11 @@ class ShardedOps(LocalOps):
 
     def ce_rows(self, h, w, b, pad_logit, targets, n_real):
         from c2dsr_tpu.parallel import sharded_loss
+        use_pallas, interpret = backend_mod.use_sharded_pallas_ce(self.cfg)
+        if use_pallas:
+            return sharded_loss.sharded_rec_ce_rows_pallas(
+                h, w, b, pad_logit, targets, n_real, self.mesh,
+                batch_spec=self.batch_spec, interpret=interpret)
         return sharded_loss.sharded_rec_ce_rows(
             h, w, b, pad_logit, targets, n_real, self.mesh,
             batch_spec=self.batch_spec)

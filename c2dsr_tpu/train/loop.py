@@ -117,8 +117,9 @@ class Experiment:
     # ----- phases ----------------------------------------------------------
     def run_train_epoch(self):
         t0 = time.time()
-        tot = jnp.zeros(3, jnp.float32)     # device-resident epoch totals
-        n = 0
+        # device-resident epoch totals: [loss, rec, mi] example-weighted sums
+        # + the real example count (one host sync at the epoch boundary)
+        tot = jnp.zeros(4, jnp.float32)
         if self.cfg.bug_epoch_grad_accum:
             # reference parity: optimizer.zero_grad() once per epoch
             # (trainer.py:42) — clear the running gradient sum
@@ -133,10 +134,12 @@ class Experiment:
                     from c2dsr_tpu.parallel import mesh as mesh_mod
                     batch = mesh_mod.global_batch(batch, self.mesh)
                 self.state, aux = self.train_step(self.state, batch)
-                bs = batch["seq_share"].shape[0]     # global batch size
-                tot = tot + jnp.stack([aux["loss"], aux["loss_rec"],
-                                       aux["loss_mi"]]) * bs
-                n += bs
+                # real (unpadded) example count: device scalar from the step
+                # when the pipeline emits a validity mask, else the batch dim
+                bs = aux.get("n_examples", batch["seq_share"].shape[0])
+                tot = tot + jnp.stack([aux["loss"] * bs,
+                                       aux["loss_rec"] * bs,
+                                       aux["loss_mi"] * bs, bs * 1.0])
         finally:
             if profiling:
                 jax.block_until_ready(tot)
@@ -147,7 +150,8 @@ class Experiment:
         if self.cfg.debug_nans and not np.isfinite(tot).all():
             raise FloatingPointError(
                 f"non-finite training loss: {tot.tolist()}")
-        loss_tr, loss_rec, loss_mi = (tot / max(n, 1)).tolist()
+        n = float(tot[3])
+        loss_tr, loss_rec, loss_mi = (tot[:3] / max(n, 1.0)).tolist()
         if self.noter:
             self.noter.log_train(loss_tr, loss_rec, loss_mi, dt,
                                  examples_per_s=n / max(dt, 1e-9))

@@ -70,6 +70,14 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
         params, hi, batch["seq_share_a"], batch["seq_share_b"],
         batch["pos_a"], batch["pos_b"], cfg, spec, r_fwd, pops)
 
+    # optional example-validity mask: multi-process batches pad by repeating
+    # rows (data/pipeline.py) — padded duplicates must contribute NOTHING, so
+    # the padded batch reproduces the reference's ragged batch exactly.
+    valid = batch.get("valid")
+    if valid is not None:
+        valid = valid.astype(jnp.float32)
+    n_examples = jnp.sum(valid) if valid is not None else jnp.float32(B)
+
     mask_a = _pool_mask(batch["gt_mask_a"])[..., None]     # [B, L, 1]
     mask_b = _pool_mask(batch["gt_mask_b"])[..., None]
 
@@ -87,10 +95,10 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
     sim_b_neg = c2dsr.discriminate(params["D_b_w"], d_b_b, hy_mean,
                                    jnp.sum(h_neg_b * mask_b, axis=1))
 
-    loss_mi = (losses.bce_with_logits(sim_a_pos, True)
-               + losses.bce_with_logits(sim_a_neg, False)
-               + losses.bce_with_logits(sim_b_pos, True)
-               + losses.bce_with_logits(sim_b_neg, False))
+    loss_mi = (losses.bce_with_logits(sim_a_pos, True, valid)
+               + losses.bce_with_logits(sim_a_neg, False, valid)
+               + losses.bce_with_logits(sim_b_pos, True, valid)
+               + losses.bce_with_logits(sim_b_neg, False, valid))
 
     # --- recommendation loss over the last len_rec positions ---------------
     R = cfg.len_rec
@@ -103,6 +111,14 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
     gt_b = batch["gt_b"][:, -R:]
 
     na, nb = spec.n_item_a, spec.n_item_b
+    if valid is not None:
+        # padded rows' targets become the ignore index: the CE kernels mask
+        # them and the valid counts (incl. count-reweighting) stay exact
+        vb = valid[:, None] > 0
+        gt_share_a = jnp.where(vb, gt_share_a, na)
+        gt_share_b = jnp.where(vb, gt_share_b, nb)
+        gt_a = jnp.where(vb, gt_a, na)
+        gt_b = jnp.where(vb, gt_b, nb)
 
     def domain_ce(w_key, b_key, h_dom, gt_share, gt_dom, n_real):
         """Both CE terms of one domain (share-tower and combined-tower,
@@ -124,13 +140,14 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
                                           gt_share_a, gt_a, na)
     l_share_b, n_share_b, l_b = domain_ce("cls_b_w", "cls_b_b", hb,
                                           gt_share_b, gt_b, nb)
-    denom = float(R) * B
+    denom = float(R) * n_examples
     loss_share = (l_share_a * n_share_a / denom
                   + l_share_b * n_share_b / denom)
     loss_rec = loss_share + l_a + l_b
 
     loss = cfg.lambda_loss * loss_rec + (1.0 - cfg.lambda_loss) * loss_mi
-    aux = {"loss": loss, "loss_rec": loss_rec, "loss_mi": loss_mi}
+    aux = {"loss": loss, "loss_rec": loss_rec, "loss_mi": loss_mi,
+           "n_examples": n_examples}
     return loss, aux
 
 

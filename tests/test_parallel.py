@@ -187,6 +187,64 @@ def test_sharded_ce_grad_matches(mesh):
     np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-5)
 
 
+def test_sharded_ce_pallas_matches_xla(mesh):
+    """The Pallas fused CE running on each vocab shard (interpret mode on
+    the fake pod) must match the einsum shard kernel AND the local oracle:
+    same lse/target-logit per row, incl. ignore-index masking and the
+    shard-0-only pad fold."""
+    rng = np.random.default_rng(8)
+    B, R, V_p, n_real = 8, 4, 1024, 1000   # vocab shard = 256, kernel-ready
+    h = jnp.asarray(rng.normal(size=(B, R, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D, V_p)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V_p,)) * 0.1, jnp.float32)
+    pad = jnp.asarray(rng.normal(size=(B, R, 1)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, n_real + 1, size=(B, R)), jnp.int32)
+    w_s = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("model")))
+
+    got = sharded_loss.sharded_rec_ce_rows_pallas(
+        h, w_s, b_s, pad, tgt, n_real, mesh, interpret=True)
+    want = sharded_loss.sharded_rec_ce_rows(
+        h, w_s, b_s, pad, tgt, n_real, mesh)
+    # fused_ce runs its matmuls in bf16 with f32 accumulation (the MXU fast
+    # path); the einsum oracle is f32-highest -> tolerance is bf16-rounding
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=2e-3, atol=5e-3)
+
+    local = losses.rec_ce_row_losses(
+        jnp.einsum("brd,dv->brv", h, w) + b, pad, tgt, n_real)
+    np.testing.assert_allclose(np.array(got), np.array(local),
+                               rtol=2e-3, atol=5e-3)
+
+
+def test_sharded_ce_pallas_grad_matches(mesh):
+    rng = np.random.default_rng(9)
+    B, R, V_p, n_real = 4, 3, 1024, 990
+    h = jnp.asarray(rng.normal(size=(B, R, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D, V_p)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V_p,)) * 0.1, jnp.float32)
+    pad = jnp.asarray(rng.normal(size=(B, R, 1)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, n_real, size=(B, R)), jnp.int32)
+    w_s = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("model")))
+
+    def loss_pallas(hh, ww):
+        rows = sharded_loss.sharded_rec_ce_rows_pallas(
+            hh, ww, b_s, pad, tgt, n_real, mesh, interpret=True)
+        return jnp.sum(rows)
+
+    def loss_ref(hh, ww):
+        return jnp.sum(losses.rec_ce_row_losses(
+            jnp.einsum("brd,dv->brv", hh, ww) + b, pad, tgt, n_real))
+
+    gh1, gw1 = jax.grad(loss_pallas, argnums=(0, 1))(h, w_s)
+    gh2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(h, w)
+    np.testing.assert_allclose(np.array(gh1), np.array(gh2),
+                               rtol=2e-3, atol=5e-3)
+    np.testing.assert_allclose(np.array(gw1), np.array(gw2),
+                               rtol=2e-3, atol=5e-3)
+
+
 def test_sharded_full_rank_matches(mesh):
     rng = np.random.default_rng(6)
     B, V_p, n_real = 16, 32, 30
