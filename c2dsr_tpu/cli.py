@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "ee: Entertainment-Education")
     p.add_argument("--len_rec", type=int, default=10)
     # Data
-    p.add_argument("--use_raw", action="store_true")
+    p.add_argument("--use_raw", action="store_true",
+                   help="re-preprocess from raw text even if an npz cache "
+                        "exists (the cache is rewritten)")
     p.add_argument("--n_neg_sample", type=int, default=999)
     # Model
     p.add_argument("--d_latent", type=int, default=128)
@@ -141,13 +143,14 @@ def main(argv=None) -> int:
             raise FileNotFoundError(f"raw dataset not found: {path_raw}")
         spec = raw.load_data_spec(path_raw, cfg.len_max)
         train = preprocess.load_or_build_split(
-            path_raw, path_data, "train", spec, cfg.n_neg_sample, cfg.seed)
+            path_raw, path_data, "train", spec, cfg.n_neg_sample, cfg.seed,
+            use_raw=cfg.use_raw)
         val = preprocess.load_or_build_split(
             path_raw, path_data, "val", spec, cfg.n_neg_sample, cfg.seed,
-            cfg.bug_truncated_b_neg_pool)
+            cfg.bug_truncated_b_neg_pool, use_raw=cfg.use_raw)
         test = preprocess.load_or_build_split(
             path_raw, path_data, "test", spec, cfg.n_neg_sample, cfg.seed,
-            cfg.bug_truncated_b_neg_pool)
+            cfg.bug_truncated_b_neg_pool, use_raw=cfg.use_raw)
         graph_seqs = None
         graph_file = raw.split_path(path_raw, "train")
 

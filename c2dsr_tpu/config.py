@@ -79,6 +79,14 @@ class Config:
     # bfloat16 on TPU (measured faster at FK scale with matched quality,
     # tests/test_train.py) and float32 elsewhere; use resolved_compute_dtype().
     compute_dtype: str = "auto"
+    # Streaming dtype of the classifier weight at its use sites (CE loss and
+    # ranking).  Master params stay f32 in the optimizer; "bfloat16" casts
+    # [d, V] once per use, halving the weight's HBM traffic in the CE
+    # forward and all three backward streams (the step's dominant bytes) and
+    # in eval scoring.  Matmul NUMERICS are unchanged on TPU — the kernels
+    # already compute bf16 x bf16 -> f32 — only the stored rounding of W
+    # differs.  "auto" -> bfloat16 on TPU, float32 elsewhere.
+    classifier_dtype: str = "auto"
     # Kernel backend: "xla" (portable) or "pallas" (TPU fused kernels).
     kernel_backend: str = "auto"    # auto -> pallas on TPU, xla elsewhere
     # Off-TPU, run shard-local Pallas kernels through the interpreter instead
@@ -87,6 +95,12 @@ class Config:
     # Mesh shape: data-parallel x model-parallel.  (1, 1) = single chip.
     mesh_data: int = 1
     mesh_model: int = 1
+    # Sharded-table tower-lookup strategy (mesh_model > 1 only):
+    # "psum" = owner-masked gather + psum (optimal when every model shard
+    # needs every id); "a2a" = bucket-by-owner all-to-all exchange with the
+    # id set sharded over the whole mesh (each device gathers only 1/M of
+    # the rows) + an all_gather back.  Both are exact; see parallel/embed.py.
+    lookup_mode: str = "psum"
     # Eval protocol: "sampled" = 999 negatives (reference default),
     # "full" = full-itemset ranking (the headline mode of this framework).
     eval_mode: str = "sampled"
@@ -137,6 +151,13 @@ class Config:
         """'auto' -> bfloat16 on TPU, float32 elsewhere (params stay f32)."""
         if self.compute_dtype != "auto":
             return self.compute_dtype
+        import jax
+        return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+    def resolved_classifier_dtype(self) -> str:
+        """'auto' -> bfloat16 on TPU, float32 elsewhere."""
+        if self.classifier_dtype != "auto":
+            return self.classifier_dtype
         import jax
         return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 

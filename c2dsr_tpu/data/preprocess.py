@@ -272,12 +272,15 @@ def load_or_build_split(raw_dir: str, cache_dir: str, mode: str,
                         seed: int = 3407,
                         bug_truncated_b_neg_pool: bool = False,
                         neg_file: "str | None" = None,
+                        use_raw: bool = False,
                         ) -> Dict[str, np.ndarray]:
     """npz-cached preprocessing (analog of the reference's pickle caches,
     dataloader.py:24-35).
 
     ``neg_file``: optional .npy of [n_examples, n_neg] domain-local negative
-    ids replacing the sampled eval negatives (see preprocess_evaluate)."""
+    ids replacing the sampled eval negatives (see preprocess_evaluate).
+    ``use_raw``: force re-preprocessing from the raw text even when a cache
+    exists (the reference's --use_raw, main.py:23); the cache is rewritten."""
     if neg_file is not None and mode != "train":
         seqs = raw_mod.parse_interactions(raw_mod.split_path(raw_dir, mode))
         return preprocess_evaluate(
@@ -286,7 +289,7 @@ def load_or_build_split(raw_dir: str, cache_dir: str, mode: str,
             neg_lists=np.load(neg_file))
     tag = "bugneg" if (mode != "train" and bug_truncated_b_neg_pool) else "std"
     cache = os.path.join(cache_dir, f"{mode}.{tag}.npz")
-    if os.path.exists(cache):
+    if os.path.exists(cache) and not use_raw:
         with np.load(cache) as z:
             return {k: z[k] for k in z.files}
     path = raw_mod.split_path(raw_dir, mode)

@@ -86,9 +86,9 @@ def _local_ops(cfg: Config):
     return LocalOps(cfg=cfg)
 
 
-def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
-           rng: Optional[jax.Array], pops=None) -> jax.Array:
-    """(propagated + raw) lookup x sqrt(d) -> attention tower.
+def _tower_pre(seq, hi, raw_table, cfg: Config, spec: DataSpec,
+               pops=None) -> jax.Array:
+    """(propagated + raw) lookup x sqrt(d) — the encoder's input.
 
     The lookup result is masked where seq == idx_pad: zeroes the pad row's
     contribution and kills the gradient into it (padding_idx semantics, see
@@ -109,8 +109,14 @@ def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
         # crucially, the backward scatter-adds into the tables — the chain
         # rule routes the single scattered cotangent to both tables.
         h = jnp.where(real, lk(hi + raw_table), 0.0)
-    h = (h * (cfg.d_latent ** 0.5)).astype(
+    return (h * (cfg.d_latent ** 0.5)).astype(
         jnp.dtype(cfg.resolved_compute_dtype()))
+
+
+def _tower(seq, pos, hi, raw_table, attn_params, cfg: Config, spec: DataSpec,
+           rng: Optional[jax.Array], pops=None) -> jax.Array:
+    """(propagated + raw) lookup x sqrt(d) -> attention tower."""
+    h = _tower_pre(seq, hi, raw_table, cfg, spec, pops)
     if backend_mod.use_fused_encoder(cfg):
         # fused Pallas tower: one kernel per pass, activations + weights in
         # VMEM, recompute-forward backward (ops/encoder_pallas.py)
@@ -151,6 +157,50 @@ def forward_share(params: Dict[str, Any], hi: Propagated, seq, pos,
     e_share, _, _ = embedding_tables(params, cfg, spec)
     return _tower(seq, pos, hi.share, e_share, params["attn_share"],
                   cfg, spec, rng, pops)
+
+
+def forward_joint(params: Dict[str, Any], hi: Propagated, seq_share3, pos3,
+                  seq_a, seq_b, pos_a, pos_b, cfg: Config, spec: DataSpec,
+                  rng: Optional[jax.Array], pops=None
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """ALL tower passes of one training step in one fused kernel call.
+
+    The reference runs five encoder passes per step (trainer.py:97-108 +
+    C2DSR.py:73-75); the caller stacks the three shared-tower sequences
+    (positive + 2 corrupted) into ``seq_share3`` [3B, L], and this joins
+    them with the A and B towers into ONE Pallas invocation
+    (ops/encoder_pallas.encode_towers_fused): a 5B-row grid streaming each
+    tower's weights once, instead of 3 short grids with 3x dispatch.
+    Returns (h_share3 [3B, L, d], hx [B, L, d], hy [B, L, d]).
+
+    Falls back to per-tower passes on the XLA (non-fused) backend.
+    """
+    e_share, e_a, e_b = embedding_tables(params, cfg, spec)
+    h_s3 = _tower_pre(seq_share3, hi.share, e_share, cfg, spec, pops)
+    h_a = _tower_pre(seq_a, hi.a, e_a, cfg, spec, pops)
+    h_b = _tower_pre(seq_b, hi.b, e_b, cfg, spec, pops)
+    if backend_mod.use_fused_encoder(cfg):
+        from c2dsr_tpu.ops import encoder_pallas
+        outs = encoder_pallas.encode_towers_fused(
+            [(seq_share3, h_s3, pos3, params["attn_share"]),
+             (seq_a, h_a, pos_a, params["attn_a"]),
+             (seq_b, h_b, pos_b, params["attn_b"])],
+            idx_pad=spec.idx_pad, n_head=cfg.n_head,
+            dropout=cfg.dropout_attn, rng=rng,
+            invert_padding_mask=cfg.bug_inverted_padding_mask)
+        return tuple(o.astype(jnp.float32) for o in outs)
+    r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
+
+    def run(seqX, hX, posX, prX, rr):
+        return enc.encode_sequence(
+            seqX, hX, posX, prX, idx_pad=spec.idx_pad, n_head=cfg.n_head,
+            dropout=cfg.dropout_attn, rng=rr, norm_first=cfg.norm_first,
+            invert_padding_mask=cfg.bug_inverted_padding_mask
+        ).astype(jnp.float32)
+
+    return (run(seq_share3, h_s3, pos3, params["attn_share"], r(0)),
+            run(seq_a, h_a, pos_a, params["attn_a"], r(1)),
+            run(seq_b, h_b, pos_b, params["attn_b"], r(2)))
 
 
 def forward_domains(params: Dict[str, Any], hi: Propagated, seq_a, seq_b,

@@ -129,7 +129,7 @@ def _forward_core(x2, seq, refs, *, st, collect: bool):
     order so PRNG mask regeneration stays aligned with the forward kernel.
     """
     (idx_pad, n_head, dropout, invert, l_real, n_layers, bb, lp, dh,
-     use_drop, mm_dtype) = st
+     use_drop, starts, mm_dtype) = st
     d = n_head * dh
     scale = 1.0 / float(np.sqrt(dh))
     bias = _mask_bias(seq, idx_pad, l_real, invert)
@@ -197,7 +197,7 @@ def _fwd_kernel(seed_ref, x_ref, seq_ref, *ws, st):
     out_ref = ws[-1]
     refs = dict(zip(_WEIGHT_NAMES, ws[:-1]))
     (idx_pad, n_head, dropout, invert, l_real, n_layers, bb, lp, dh,
-     use_drop, mm_dtype) = st
+     use_drop, starts, mm_dtype) = st
     if use_drop:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x2 = x_ref[:].reshape(bb * lp, n_head * dh).astype(jnp.float32)
@@ -215,7 +215,7 @@ def _bwd_kernel(seed_ref, x_ref, seq_ref, *args, st):
     dx_ref = args[n_w + 1]
     grefs = dict(zip(_WEIGHT_NAMES, args[n_w + 2:]))
     (idx_pad, n_head, dropout, invert, l_real, n_layers, bb, lp, dh,
-     use_drop, mm_dtype) = st
+     use_drop, starts, mm_dtype) = st
     d = n_head * dh
     n = bb * lp
     scale = 1.0 / float(np.sqrt(dh))
@@ -304,7 +304,12 @@ def _bwd_kernel(seed_ref, x_ref, seq_ref, *args, st):
         g = g * m_in
     dx_ref[:] = g.reshape(bb, lp, d)
 
-    # write/accumulate weight grads across the sequential grid
+    # write/accumulate weight grads across the sequential grid.  With
+    # multiple towers the grad output block is tower-indexed: initialize it
+    # on the FIRST batch block of each tower's contiguous grid range.
+    first = i == starts[0]
+    for s in starts[1:]:
+        first = jnp.logical_or(first, i == s)
     for name in _WEIGHT_NAMES:
         vals = acc[name]
         if name in ("lnf_s", "lnf_b"):
@@ -312,11 +317,11 @@ def _bwd_kernel(seed_ref, x_ref, seq_ref, *args, st):
         else:
             stacked = jnp.stack(vals).reshape(grefs[name].shape)
 
-        @pl.when(i == 0)
+        @pl.when(first)
         def _(name=name, stacked=stacked):
             grefs[name][...] = stacked
 
-        @pl.when(i != 0)
+        @pl.when(jnp.logical_not(first))
         def _(name=name, stacked=stacked):
             grefs[name][...] = grefs[name][...] + stacked
 
@@ -325,21 +330,43 @@ def _bwd_kernel(seed_ref, x_ref, seq_ref, *args, st):
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
-def _weight_shapes(n_layers: int, d: int):
+def _weight_shapes(n_layers: int, d: int, n_towers: int = 1):
+    """Full weight-array shapes: ``n_towers`` weight sets stacked along the
+    layer axis ([T*NL, ...]; lnf gets its own [T, 1, d] leading dim)."""
+    nl = n_towers * n_layers
     return {
-        "w_qkv": (n_layers, d, 3 * d), "b_qkv": (n_layers, 1, 3 * d),
-        "w_out": (n_layers, d, d), "b_out": (n_layers, 1, d),
-        "w_ff1": (n_layers, d, d), "b_ff1": (n_layers, 1, d),
-        "w_ff2": (n_layers, d, d), "b_ff2": (n_layers, 1, d),
-        "ln1_s": (n_layers, 1, d), "ln1_b": (n_layers, 1, d),
-        "ln2_s": (n_layers, 1, d), "ln2_b": (n_layers, 1, d),
-        "lnf_s": (1, 1, d), "lnf_b": (1, 1, d),
+        "w_qkv": (nl, d, 3 * d), "b_qkv": (nl, 1, 3 * d),
+        "w_out": (nl, d, d), "b_out": (nl, 1, d),
+        "w_ff1": (nl, d, d), "b_ff1": (nl, 1, d),
+        "w_ff2": (nl, d, d), "b_ff2": (nl, 1, d),
+        "ln1_s": (nl, 1, d), "ln1_b": (nl, 1, d),
+        "ln2_s": (nl, 1, d), "ln2_b": (nl, 1, d),
+        "lnf_s": (n_towers, 1, d), "lnf_b": (n_towers, 1, d),
     }
 
 
-def _whole(shape):
+def _tower_block(shape, starts):
+    """BlockSpec selecting one tower's weight slice by batch-block index.
+
+    ``shape`` is the full stacked array; the block is its leading dim
+    divided by the tower count.  The index map computes the tower id from
+    the grid index against the static block-start offsets — so each batch
+    block streams only its own tower's weights, and consecutive blocks of
+    the same tower reuse the resident copy."""
+    n_towers = len(starts)
+    blk = (shape[0] // n_towers,) + shape[1:]
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd)
+    if n_towers == 1:
+        return pl.BlockSpec(blk, lambda i, _nd=nd: (0,) * _nd)
+    sa = starts[1:]
+
+    def im(i, _nd=nd, _sa=sa):
+        t = jnp.int32(0)
+        for s in _sa:
+            t = t + jnp.where(i >= s, 1, 0).astype(jnp.int32)
+        return (t,) + (0,) * (_nd - 1)
+
+    return pl.BlockSpec(blk, im)
 
 
 def _stack_params(params: Dict[str, Any], d: int) -> Dict[str, jax.Array]:
@@ -359,6 +386,17 @@ def _stack_params(params: Dict[str, Any], d: int) -> Dict[str, jax.Array]:
     out["lnf_b"] = params["lnf_bias"][None, None, :]
     assert out["w_qkv"].shape == (nl, d, 3 * d)
     return out
+
+
+def _stack_params_multi(params_list, d: int) -> Dict[str, jax.Array]:
+    """Stack several towers' params along the layer axis ([T*NL, ...];
+    lnf along a [T, ...] leading dim).  Autodiff through the concatenation
+    routes each tower's weight-grad slice back to its own pytree."""
+    stacked = [_stack_params(p, d) for p in params_list]
+    if len(stacked) == 1:
+        return stacked[0]
+    return {name: jnp.concatenate([s[name] for s in stacked], axis=0)
+            for name in _WEIGHT_NAMES}
 
 
 def _unstack_grads(gw: Dict[str, jax.Array]) -> Dict[str, Any]:
@@ -386,19 +424,19 @@ def _fused(st: Tuple, x: jax.Array, seq: jax.Array,
 
 def _specs(st, d):
     (idx_pad, n_head, dropout, invert, l_real, n_layers, bb, lp, dh,
-     use_drop, mm_dtype) = st
-    wshapes = _weight_shapes(n_layers, d)
+     use_drop, starts, mm_dtype) = st
+    wshapes = _weight_shapes(n_layers, d, len(starts))
     in_specs = [
         pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
         pl.BlockSpec((bb, lp, d), lambda i: (i, 0, 0)),
         pl.BlockSpec((bb, lp), lambda i: (i, 0)),
-    ] + [_whole(wshapes[nm]) for nm in _WEIGHT_NAMES]
+    ] + [_tower_block(wshapes[nm], starts) for nm in _WEIGHT_NAMES]
     return in_specs, wshapes
 
 
 def _fused_fwd_impl(st, x, seq, weights, seed):
     (idx_pad, n_head, dropout, invert, l_real, n_layers, bb, lp, dh,
-     use_drop, mm_dtype) = st
+     use_drop, starts, mm_dtype) = st
     d = n_head * dh
     bp = x.shape[0]
     in_specs, _ = _specs(st, d)
@@ -425,13 +463,13 @@ def _fused_fwd(st, x, seq, weights, seed):
 def _fused_bwd(st, res, g):
     x, seq, weights, seed = res
     (idx_pad, n_head, dropout, invert, l_real, n_layers, bb, lp, dh,
-     use_drop, mm_dtype) = st
+     use_drop, starts, mm_dtype) = st
     d = n_head * dh
     bp = x.shape[0]
     in_specs, wshapes = _specs(st, d)
     in_specs = in_specs + [pl.BlockSpec((bb, lp, d), lambda i: (i, 0, 0))]
     out_specs = [pl.BlockSpec((bb, lp, d), lambda i: (i, 0, 0))] + [
-        _whole(wshapes[nm]) for nm in _WEIGHT_NAMES]
+        _tower_block(wshapes[nm], starts) for nm in _WEIGHT_NAMES]
     out_shape = [jax.ShapeDtypeStruct((bp, lp, d), jnp.float32)] + [
         jax.ShapeDtypeStruct(wshapes[nm], jnp.float32)
         for nm in _WEIGHT_NAMES]
@@ -492,18 +530,60 @@ def encode_sequence_fused(seq: jax.Array, h_in: jax.Array, pos: jax.Array,
     kernel masks alignment pads in both polarities and pad-row grads vanish
     because the sliced-output cotangent is zero there.
     """
-    b, l = seq.shape
-    d = h_in.shape[-1]
-    n_layers = len(params["layers"])
-    x0 = h_in.astype(jnp.float32) + params["pos_emb"][pos]
+    return encode_towers_fused(
+        [(seq, h_in, pos, params)], idx_pad=idx_pad, n_head=n_head,
+        dropout=dropout, rng=rng, invert_padding_mask=invert_padding_mask,
+        matmul_dtype=matmul_dtype, block_b=block_b)[0]
+
+
+def encode_towers_fused(segments, *, idx_pad: int, n_head: int,
+                        dropout: float, rng: Optional[jax.Array],
+                        invert_padding_mask: bool,
+                        matmul_dtype=jnp.bfloat16,
+                        block_b: int = 64) -> list:
+    """Run SEVERAL towers (distinct weight sets) in ONE kernel invocation.
+
+    The reference runs five tower passes per training step (shared on
+    positive + 2 corrupted sequences, trainer.py:97-108, plus the A and B
+    towers, C2DSR.py:73-75).  Per-pass kernels leave the sequential TPU
+    grid short and pay 5x dispatch; here every pass joins one grid along
+    the batch axis, and each batch block selects its tower's weight slice
+    via the BlockSpec index map (weights stacked [T*NL, ...]) — consecutive
+    blocks of the same tower reuse the VMEM-resident weights, and weight
+    grads accumulate per tower over its contiguous block range.
+
+    segments: list of (seq [Bt, L], h_in [Bt, L, d], pos [Bt, L], params).
+    All segments must share L, d, layer count.  Returns the per-segment
+    outputs [Bt, L, d].  Dropout masks are iid across the whole joined
+    batch (matching independent per-tower dropout in distribution).
+    """
+    l = segments[0][0].shape[1]
+    d = segments[0][1].shape[-1]
+    n_layers = len(segments[0][3]["layers"])
+    for sq, hh, pp, pr in segments:
+        assert sq.shape[1] == l and hh.shape[-1] == d
+        assert len(pr["layers"]) == n_layers
 
     lp = _round_up(l, 16)
-    bb = min(block_b, 1 << (b - 1).bit_length())
-    bp = _round_up(b, bb)
-    if lp != l or bp != b:
-        x0 = jnp.pad(x0, ((0, bp - b), (0, lp - l), (0, 0)))
-        seq = jnp.pad(seq, ((0, bp - b), (0, lp - l)),
-                      constant_values=idx_pad)
+    bs = [int(s[0].shape[0]) for s in segments]
+    bb = min(block_b, 1 << (min(bs) - 1).bit_length())
+    xs, seqs, starts, bps = [], [], [], []
+    blk = 0
+    for sq, hh, pp, pr in segments:
+        b = sq.shape[0]
+        x0 = hh.astype(jnp.float32) + pr["pos_emb"][pp]
+        bp = _round_up(b, bb)
+        if lp != l or bp != b:
+            x0 = jnp.pad(x0, ((0, bp - b), (0, lp - l), (0, 0)))
+            sq = jnp.pad(sq, ((0, bp - b), (0, lp - l)),
+                         constant_values=idx_pad)
+        xs.append(x0)
+        seqs.append(sq.astype(jnp.int32))
+        starts.append(blk)
+        bps.append(bp)
+        blk += bp // bb
+    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+    seq = seqs[0] if len(seqs) == 1 else jnp.concatenate(seqs, axis=0)
 
     use_drop = dropout > 0.0 and rng is not None
     if use_drop:
@@ -514,14 +594,18 @@ def encode_sequence_fused(seq: jax.Array, h_in: jax.Array, pos: jax.Array,
 
     st = (int(idx_pad), int(n_head), float(dropout),
           bool(invert_padding_mask), int(l), int(n_layers), int(bb),
-          int(lp), int(d // n_head), bool(use_drop),
+          int(lp), int(d // n_head), bool(use_drop), tuple(starts),
           jnp.dtype(matmul_dtype).name)
     # jnp dtype objects aren't hashable across versions; store the name and
     # resolve inside the kernels via _resolve_st
     st = _resolve_st(st)
-    weights = _stack_params(params, d)
-    out = _fused(st, x0, seq.astype(jnp.int32), weights, seed)
-    return out[:b, :l, :]
+    weights = _stack_params_multi([s[3] for s in segments], d)
+    out = _fused(st, x, seq, weights, seed)
+    outs, off = [], 0
+    for b, bp in zip(bs, bps):
+        outs.append(out[off:off + b, :l, :])
+        off += bp
+    return outs
 
 
 class _StaticArgs(tuple):

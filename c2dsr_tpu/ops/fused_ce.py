@@ -191,8 +191,8 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, lse_ref, dlse_ref, dt_ref, tgt_ref,
         db_ref[:] = db_sc[:]
 
 
-def _pick_blocks(n: int, v: int, d: int = 128, fwd: bool = False
-                 ) -> Tuple[int, int]:
+def _pick_blocks(n: int, v: int, d: int = 128, fwd: bool = False,
+                 w_bytes: int = 4) -> Tuple[int, int]:
     """Block sizes per phase, measured on v5e at FK scale (N=10240, V=65536):
 
     * forward is VPU-bound (exp + flash bookkeeping per logit); bv=2048
@@ -202,12 +202,16 @@ def _pick_blocks(n: int, v: int, d: int = 128, fwd: bool = False
     * backward is MXU-bound at ~60% peak with bn=512/bv=1024; bv=2048
       overflows VMEM at bn=512 and gains nothing at bn=256.
     """
-    if d * v * 4 > 2 ** 31:
+    if d * v * w_bytes >= 2 ** 31:
+        # `>=` is load-bearing: an operand of EXACTLY 2^31 bytes (f32
+        # d=512 x V=2^20) was observed to hang/miscompile (round-3 verdict
+        # reproduced 344 PFLOP/s garbage timings at that size).
         raise ValueError(
-            f"classifier operand d*V = {d}x{v} exceeds 2 GiB — beyond the "
-            "32-bit per-operand addressing limit (observed to hang/"
-            "miscompile).  Shard the vocab (parallel/sharded_loss.py) so "
-            "each device's slice stays under 2^20 rows at d=512.")
+            f"classifier operand d*V = {d}x{v} at {w_bytes} B/elt reaches "
+            "2 GiB — at/beyond the 32-bit per-operand addressing limit "
+            "(observed to hang/miscompile).  Use a bfloat16 classifier "
+            "(halves the operand) or shard the vocab "
+            "(parallel/sharded_loss.py).")
     bn = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
     bv = 1024 if v % 1024 == 0 else 512 if v % 512 == 0 else 256
     if fwd and v % 2048 == 0 and bn * d <= 512 * 128:
@@ -235,7 +239,7 @@ def fused_ce(h, w, b_masked, pad_logit, targets, interpret=False):
 def _fused_ce_fwd_impl(h, w, b_masked, pad_logit, targets, interpret):
     n, d = h.shape
     v = w.shape[1]
-    bn, bv = _pick_blocks(n, v, d, fwd=True)
+    bn, bv = _pick_blocks(n, v, d, fwd=True, w_bytes=w.dtype.itemsize)
     grid = (n // bn, v // bv)
     kernel = functools.partial(_fwd_kernel, bv=bv)
     lse, tlog = pl.pallas_call(
@@ -280,7 +284,7 @@ def _fused_ce_bwd(interpret, res, cts):
     dlse, dt = cts
     n, d = h.shape
     v = w.shape[1]
-    bn, bv = _pick_blocks(n, v, d)
+    bn, bv = _pick_blocks(n, v, d, w_bytes=w.dtype.itemsize)
 
     if n * d * 4 <= _MERGED_DH_BYTES:
         dh, dw, db = pl.pallas_call(
@@ -312,7 +316,7 @@ def _fused_ce_bwd(interpret, res, cts):
             interpret=interpret,
         )(h, w, b_masked, lse, dlse, dt, targets)
         dpad = dlse * jnp.exp(pad_logit - lse)
-        return dh, dw, db, dpad, None
+        return dh, dw.astype(w.dtype), db, dpad, None
 
     dh = pl.pallas_call(
         functools.partial(_bwd_dh_kernel, bv=bv),
@@ -367,7 +371,7 @@ def _fused_ce_bwd(interpret, res, cts):
 
     # pad-class logit gradient: softmax weight of the pad class, elementwise
     dpad = dlse * jnp.exp(pad_logit - lse)
-    return dh, dw, db, dpad, None
+    return dh, dw.astype(w.dtype), db, dpad, None
 
 
 fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
@@ -376,7 +380,12 @@ fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 def fused_rec_ce_rows(h, w, b, pad_logit, targets, n_real: int,
                       interpret: bool = False) -> jax.Array:
     """Fused counterpart of ops.losses.rec_ce_row_losses: per-position
-    masked CE terms [B, R] without materializing logits."""
+    masked CE terms [B, R] without materializing logits.
+
+    ``w`` may be bfloat16 (classifier-at-rest streaming dtype): the kernel
+    computes bf16 matmuls with f32 accumulation either way, so a bf16 ``w``
+    halves its HBM traffic in the forward AND all three backward streams
+    with identical matmul numerics; only the stored rounding differs."""
     B, R, d = h.shape
     n = B * R
     # pad vocab to a 1024 multiple (kernel block constraint); padded columns
@@ -394,8 +403,9 @@ def fused_rec_ce_rows(h, w, b, pad_logit, targets, n_real: int,
         t2 = jnp.concatenate([t2, jnp.full((n_pad, 1), n_real, jnp.int32)])
         p2 = jnp.concatenate([p2, jnp.zeros((n_pad, 1), jnp.float32)])
     bm = mask_bias(b, n_real, v)
-    lse, tlog = fused_ce(h2.astype(jnp.float32), w.astype(jnp.float32),
-                         bm, p2, t2, interpret)
+    if w.dtype != jnp.bfloat16:
+        w = w.astype(jnp.float32)
+    lse, tlog = fused_ce(h2.astype(jnp.float32), w, bm, p2, t2, interpret)
     lse = lse[:n, 0].reshape(B, R)
     tlog = tlog[:n, 0].reshape(B, R)
     mask = (targets != n_real).astype(jnp.float32)

@@ -75,6 +75,18 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
                      out_specs=out_spec)(table, ids)
 
 
+def _a2a_exchange(tbl, ids_, axis: str, n_shards: int,
+                  capacity_factor: float):
+    """Shard-local body of the bucket-by-owner exchange (ids sharded over
+    ``axis``; returns this shard's rows).  Runs inside a shard_map."""
+    S = tbl.shape[0]
+    flat = ids_.reshape(-1)
+    n_local = flat.shape[0]
+    got = _a2a_exchange_flat(tbl, flat, n_local, S, axis, n_shards,
+                             capacity_factor)
+    return got.reshape(*ids_.shape, tbl.shape[1])
+
+
 def all_to_all_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
                       axis: str = "model",
                       capacity_factor: float = 2.0) -> jax.Array:
@@ -88,53 +100,92 @@ def all_to_all_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
     n_shards = mesh.shape[axis]
 
     def kernel(tbl, ids_):
-        S = tbl.shape[0]
-        flat = ids_.reshape(-1)
-        n_local = flat.shape[0]
-        cap = max(1, int(-(-n_local // n_shards) * capacity_factor))
-        owner = jnp.clip(flat // S, 0, n_shards - 1)
-
-        # position of each id within its destination bucket
-        onehot = jax.nn.one_hot(owner, n_shards, dtype=jnp.int32)  # [n, M]
-        pos_in_bucket = jnp.cumsum(onehot, axis=0) - onehot        # [n, M]
-        slot = jnp.sum(pos_in_bucket * onehot, axis=1)             # [n]
-        fits = slot < cap
-
-        # build request buffers [M, cap] of local row indices at the owner
-        send = jnp.zeros((n_shards, cap), jnp.int32)
-        # overflowing ids scatter to slot == cap, out of bounds on purpose:
-        # mode="drop" discards them instead of overwriting a valid slot
-        idx = (owner, jnp.where(fits, slot, cap))
-        send = send.at[idx].set(flat - owner * S, mode="drop")
-
-        # route requests to owners; each shard now holds [M, cap] asks
-        asks = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
-        rows = tbl[jnp.clip(asks, 0, S - 1)]                       # [M, cap, d]
-        # route results back to the requesters
-        rows = jax.lax.all_to_all(rows, axis, 0, 0, tiled=False)
-
-        # scatter received rows into id order
-        got = rows[owner, jnp.minimum(slot, cap - 1)]              # [n, d]
-        got = jnp.where(fits[:, None], got, 0.0)
-
-        # exact overflow fallback for ids that missed their bucket: publish
-        # every shard's miss set (all_gather keeps each source shard's
-        # requests in its own slot, so owner contributions to slot (m, i)
-        # never collide), let owners fill rows, combine with psum, then read
-        # back this shard's slot.
-        need = jnp.logical_not(fits)
-        my_ax = jax.lax.axis_index(axis)
-        all_ids = jax.lax.all_gather(jnp.where(need, flat, 0), axis)  # [M, n]
-        all_need = jax.lax.all_gather(need, axis)                     # [M, n]
-        local, ok = _owner_local(all_ids, S, axis)
-        fb_all = jnp.where((ok & all_need)[..., None], tbl[local], 0.0)
-        fb_all = jax.lax.psum(fb_all, axis)                           # [M, n, d]
-        got = got + jnp.where(need[:, None], fb_all[my_ax], 0.0)
-        return got.reshape(*ids_.shape, tbl.shape[1])
+        return _a2a_exchange(tbl, ids_, axis, n_shards, capacity_factor)
 
     return shard_map(kernel, mesh=mesh,
                      in_specs=(P(axis, None), P(axis)),
                      out_specs=P(axis))(table, ids)
+
+
+def a2a_lookup_replicated(table: jax.Array, ids: jax.Array, mesh: Mesh,
+                          axis: str = "model", batch_spec: P = P("data"),
+                          capacity_factor: float = 2.0) -> jax.Array:
+    """Tower-lookup strategy built on the all-to-all exchange
+    (cfg.lookup_mode="a2a"): the flattened id set is sharded over BOTH mesh
+    axes (each device requests only its slice), routed to owners over the
+    model axis, and the returned rows are all-gathered over the model axis
+    so the result is co-sharded with ``ids`` (batch over 'data', replicated
+    over 'model') — the layout the attention towers consume.
+
+    vs the masked-psum path (``sharded_lookup``): per-device a2a traffic is
+    O(n_ids/M * d) + one all_gather of O(n_ids * d); the psum path moves
+    O(n_ids * d) through one psum.  On ICI both are one collective deep;
+    the a2a path wins when the gather itself (table row reads) dominates,
+    since each device gathers only 1/M of the rows.
+
+    ids [..., n]: total id count must divide by the full mesh size (true
+    for all training shapes: B * L with B a mesh-size multiple).
+    """
+    n_shards = mesh.shape[axis]
+    batch_axes = tuple(a for a in batch_spec if a is not None)
+
+    def kernel(tbl, ids_):
+        got = _a2a_exchange(tbl, ids_.reshape(-1), axis, n_shards,
+                            capacity_factor)
+        return jax.lax.all_gather(got, axis, axis=0, tiled=True)
+
+    flat = ids.reshape(-1)
+    # check_vma=False: the all_gather over `axis` makes the result invariant
+    # over the model axis, which the varying-mesh-axes tracker cannot see
+    out = shard_map(kernel, mesh=mesh,
+                    in_specs=(P(axis, None), P((*batch_axes, axis))),
+                    out_specs=P((*batch_axes,), None),
+                    check_vma=False)(table, flat)
+    return out.reshape(*ids.shape, table.shape[1])
+
+
+def _a2a_exchange_flat(tbl, flat, n_local, S, axis, n_shards,
+                       capacity_factor):
+    cap = max(1, int(-(-n_local // n_shards) * capacity_factor))
+    owner = jnp.clip(flat // S, 0, n_shards - 1)
+
+    # position of each id within its destination bucket
+    onehot = jax.nn.one_hot(owner, n_shards, dtype=jnp.int32)  # [n, M]
+    pos_in_bucket = jnp.cumsum(onehot, axis=0) - onehot        # [n, M]
+    slot = jnp.sum(pos_in_bucket * onehot, axis=1)             # [n]
+    fits = slot < cap
+
+    # build request buffers [M, cap] of local row indices at the owner
+    send = jnp.zeros((n_shards, cap), jnp.int32)
+    # overflowing ids scatter to slot == cap, out of bounds on purpose:
+    # mode="drop" discards them instead of overwriting a valid slot
+    idx = (owner, jnp.where(fits, slot, cap))
+    send = send.at[idx].set(flat - owner * S, mode="drop")
+
+    # route requests to owners; each shard now holds [M, cap] asks
+    asks = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+    rows = tbl[jnp.clip(asks, 0, S - 1)]                       # [M, cap, d]
+    # route results back to the requesters
+    rows = jax.lax.all_to_all(rows, axis, 0, 0, tiled=False)
+
+    # scatter received rows into id order
+    got = rows[owner, jnp.minimum(slot, cap - 1)]              # [n, d]
+    got = jnp.where(fits[:, None], got, 0.0)
+
+    # exact overflow fallback for ids that missed their bucket: publish
+    # every shard's miss set (all_gather keeps each source shard's
+    # requests in its own slot, so owner contributions to slot (m, i)
+    # never collide), let owners fill rows, combine with psum, then read
+    # back this shard's slot.
+    need = jnp.logical_not(fits)
+    my_ax = jax.lax.axis_index(axis)
+    all_ids = jax.lax.all_gather(jnp.where(need, flat, 0), axis)  # [M, n]
+    all_need = jax.lax.all_gather(need, axis)                     # [M, n]
+    local, ok = _owner_local(all_ids, S, axis)
+    fb_all = jnp.where((ok & all_need)[..., None], tbl[local], 0.0)
+    fb_all = jax.lax.psum(fb_all, axis)                           # [M, n, d]
+    got = got + jnp.where(need[:, None], fb_all[my_ax], 0.0)
+    return got
 
 
 def sharded_spmm(rows: jax.Array, cols: jax.Array, vals: jax.Array,

@@ -76,11 +76,18 @@ def global_batch(local: Any, mesh: Mesh):
     (pipeline.BatchIterator process sharding); the concatenation across
     processes in process order IS the global batch — exactly the layout
     P('data') induces, since make_mesh reshapes jax.devices() (which sorts
-    by process)."""
+    by process).  The global shape is passed explicitly (local rows x
+    process count): letting JAX infer it can misread a ragged batch whose
+    local row count happens to divide the data axis as already-global."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda v: jax.make_array_from_process_local_data(sh, np.asarray(v)),
-        local)
+    pc = jax.process_count()
+
+    def to_global(v):
+        v = np.asarray(v)
+        gshape = (v.shape[0] * pc,) + v.shape[1:]
+        return jax.make_array_from_process_local_data(sh, v, gshape)
+
+    return jax.tree.map(to_global, local)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

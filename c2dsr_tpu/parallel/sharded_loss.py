@@ -173,8 +173,8 @@ def sharded_rec_ce_rows_pallas(h: jax.Array, w: jax.Array, b: jax.Array,
             t2 = jnp.concatenate([t2, jnp.full((n_pad, 1), -1, jnp.int32)])
             p2 = jnp.concatenate([p2, jnp.full((n_pad, 1), NEG, jnp.float32)])
 
-        lse_s, tlog_s = fused_ce.fused_ce(h2, w_.astype(jnp.float32), bm, p2,
-                                          t2, interpret)
+        w2 = w_ if w_.dtype == jnp.bfloat16 else w_.astype(jnp.float32)
+        lse_s, tlog_s = fused_ce.fused_ce(h2, w2, bm, p2, t2, interpret)
         lse_s = lse_s[:n, 0].reshape(B, R)
         tlog_s = tlog_s[:n, 0].reshape(B, R)
 

@@ -39,18 +39,28 @@ class LocalOps:
             backend=backend_mod.resolve(self.cfg),
             gather_dtype=jnp.dtype(self.cfg.resolved_compute_dtype()))
 
+    def _cls(self, w: jax.Array) -> jax.Array:
+        """Classifier streaming dtype (cfg.classifier_dtype): bf16 halves
+        the [d, V] weight's HBM traffic; master params stay f32 and the
+        cast's autodiff returns an f32 cotangent to the optimizer."""
+        if self.cfg.resolved_classifier_dtype() == "bfloat16":
+            return w.astype(jnp.bfloat16)
+        return w
+
     def ce_rows(self, h, w, b, pad_logit, targets, n_real: int) -> jax.Array:
         if backend_mod.resolve(self.cfg) == "pallas":
             from c2dsr_tpu.ops import fused_ce
-            return fused_ce.fused_rec_ce_rows(h, w, b, pad_logit, targets,
-                                              n_real)
+            return fused_ce.fused_rec_ce_rows(h, self._cls(w), b, pad_logit,
+                                              targets, n_real)
         logits = jnp.einsum("brd,dv->brv", h, w,
                             preferred_element_type=jnp.float32) + b
         return losses_mod.rec_ce_row_losses(logits, pad_logit, targets,
                                             n_real)
 
     def full_rank(self, h, w, b, gt, n_real: int) -> jax.Array:
-        scores = h @ w + b
+        w = self._cls(w)
+        scores = jnp.matmul(h.astype(w.dtype), w,
+                            preferred_element_type=jnp.float32) + b
         if scores.shape[-1] > n_real:
             scores = jnp.where(jnp.arange(scores.shape[-1]) < n_real,
                                scores, -jnp.inf)
@@ -62,7 +72,9 @@ class LocalOps:
 
         Full matmul + gather: the [B, V] score block is cheaper than
         materializing [d, B, K] gathered columns and rides the MXU."""
-        scores = h @ w + b
+        w = self._cls(w)
+        scores = jnp.matmul(h.astype(w.dtype), w,
+                            preferred_element_type=jnp.float32) + b
         return jnp.take_along_axis(scores, ids, axis=1)
 
 
@@ -76,6 +88,9 @@ class ShardedOps(LocalOps):
 
     def lookup(self, table, ids):
         from c2dsr_tpu.parallel import embed
+        if self.cfg.lookup_mode == "a2a":
+            return embed.a2a_lookup_replicated(table, ids, self.mesh,
+                                               batch_spec=self.batch_spec)
         return embed.sharded_lookup(table, ids, self.mesh,
                                     ids_spec=self.batch_spec)
 
@@ -104,7 +119,7 @@ class ShardedOps(LocalOps):
         use_pallas, interpret = backend_mod.use_sharded_pallas_ce(self.cfg)
         if use_pallas:
             return sharded_loss.sharded_rec_ce_rows_pallas(
-                h, w, b, pad_logit, targets, n_real, self.mesh,
+                h, self._cls(w), b, pad_logit, targets, n_real, self.mesh,
                 batch_spec=self.batch_spec, interpret=interpret)
         return sharded_loss.sharded_rec_ce_rows(
             h, w, b, pad_logit, targets, n_real, self.mesh,

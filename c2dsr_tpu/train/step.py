@@ -56,19 +56,18 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
     B = batch["seq_share"].shape[0]
     # The shared tower runs on three sequences per example (positive +
     # two corrupted, trainer.py:97,105,108) with the SAME weights — stack
-    # them into one 3B-batch pass so the encoder runs 3 tower passes per
-    # step instead of 5.
+    # them into one 3B-batch segment, then join ALL towers (shared + A + B)
+    # into ONE fused kernel invocation (c2dsr.forward_joint): a single 5B
+    # grid instead of 5 tower passes.
     seq_share3 = jnp.concatenate(
         [batch["seq_share"], batch["seq_share_neg_a"],
          batch["seq_share_neg_b"]], axis=0)
     pos3 = jnp.concatenate([batch["pos"]] * 3, axis=0)
-    h_share3 = c2dsr.forward_share(params, hi, seq_share3, pos3, cfg, spec,
-                                   r_neg, pops)
+    h_share3, hx, hy = c2dsr.forward_joint(
+        params, hi, seq_share3, pos3, batch["seq_share_a"],
+        batch["seq_share_b"], batch["pos_a"], batch["pos_b"], cfg, spec,
+        r_fwd, pops)
     h_share, h_neg_a, h_neg_b = jnp.split(h_share3, 3, axis=0)
-
-    _, hx, hy = c2dsr.forward_domains(
-        params, hi, batch["seq_share_a"], batch["seq_share_b"],
-        batch["pos_a"], batch["pos_b"], cfg, spec, r_fwd, pops)
 
     # optional example-validity mask: multi-process batches pad by repeating
     # rows (data/pipeline.py) — padded duplicates must contribute NOTHING, so

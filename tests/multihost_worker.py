@@ -78,11 +78,19 @@ def run_experiment(n_data, n_model):
                                           jax.random.PRNGKey(7), mesh=mesh)
 
     pc, pi = jax.process_count(), jax.process_index()
+    # drop_last=False: the final RAGGED batch is kept, so the multi-host
+    # path exercises pad_to_multiple + the valid mask (train/step.loss_fn);
+    # the single-process oracle runs the same ragged batch unpadded —
+    # equality is the padded-batch equivalence proven in test_train.
     it = BatchIterator(train, cfg.batch_size, shuffle=True, seed=5,
-                       drop_last=True, process_index=pi, process_count=pc)
+                       drop_last=False, pad_to_multiple=n_data,
+                       process_index=pi, process_count=pc)
+    n_batches = len(it)
+    assert next(iter(train.values())).shape[0] % cfg.batch_size != 0, (
+        "corpus size must leave a ragged final batch for this test")
     losses = []
     for i, batch in enumerate(it.epoch()):
-        if i >= 2:
+        if i >= n_batches:
             break
         if pc > 1:
             batch = mesh_mod.global_batch(batch, mesh)

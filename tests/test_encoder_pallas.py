@@ -152,6 +152,53 @@ def test_fused_grads_match_xla(invert):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_multi_tower_matches_per_tower():
+    """encode_towers_fused: 3 towers with distinct weights and UNEQUAL
+    batch sizes in one kernel call must match three per-tower calls, for
+    outputs AND gradients (weight grads must accumulate only over each
+    tower's own contiguous block range)."""
+    d, l, n_head, n_layers = 32, 15, 2, 2
+    ps = [_params(d, n_layers, n_head, l, seed=20 + t) for t in range(3)]
+    ins = [_inputs(b, l, d, seed=30 + t)
+           for t, b in enumerate((24, 8, 8))]       # 3/1/1 blocks at bb=8
+    cts = [jnp.asarray(
+        np.random.default_rng(40 + t).normal(size=(b, l, d)) *
+        (np.asarray(ins[t][0] != PAD)[..., None])).astype(jnp.float32)
+        for t, b in enumerate((24, 8, 8))]
+
+    def loss_multi(ps, hs):
+        segs = [(ins[t][0], hs[t], ins[t][1], ps[t]) for t in range(3)]
+        outs = encp.encode_towers_fused(
+            segs, idx_pad=PAD, n_head=n_head, dropout=0.0, rng=None,
+            invert_padding_mask=False, matmul_dtype=jnp.float32, block_b=8)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cts)), outs
+
+    def loss_single(ps, hs):
+        outs = [encp.encode_sequence_fused(
+            ins[t][0], hs[t], ins[t][1], ps[t], idx_pad=PAD, n_head=n_head,
+            dropout=0.0, rng=None, invert_padding_mask=False,
+            matmul_dtype=jnp.float32, block_b=8) for t in range(3)]
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cts)), outs
+
+    hs = [i[2] for i in ins]
+    (_, outs_m), g_m = jax.value_and_grad(loss_multi, argnums=(0, 1),
+                                          has_aux=True)(ps, hs)
+    (_, outs_s), g_s = jax.value_and_grad(loss_single, argnums=(0, 1),
+                                          has_aux=True)(ps, hs)
+    for om, os_ , t in zip(outs_m, outs_s, range(3)):
+        real = np.asarray(ins[t][0] != PAD)
+        np.testing.assert_allclose(np.asarray(om)[real],
+                                   np.asarray(os_)[real], atol=3e-5,
+                                   err_msg=f"tower {t} output")
+    flat_m = jax.tree.flatten(g_m)[0]
+    paths = jax.tree_util.tree_flatten_with_path(g_s)[0]
+    for (path, gs), gm in zip(paths, flat_m):
+        scale = max(1.0, float(np.abs(np.asarray(gs)).max()))
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(gs), atol=3e-5 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_supported_gating():
     assert encp.supported(n_head=1, d=128, norm_first=False)
     assert encp.supported(n_head=2, d=32, norm_first=False)

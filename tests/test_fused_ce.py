@@ -91,6 +91,49 @@ def test_fused_ce_grads_match_twokernel_fallback(monkeypatch):
                                    err_msg=name)
 
 
+def test_fused_ce_bf16_classifier():
+    # bf16-at-rest classifier: same kernel, halved W stream.  Value and
+    # grads must match the XLA oracle fed the SAME bf16-rounded weight
+    # (the rounding is the only numeric difference).
+    h, w, b, pad, tgt = _case(9)
+    w16 = w.astype(jnp.bfloat16)
+
+    def f_fused(h_, w_):
+        return fused_ce.fused_rec_cross_entropy(
+            h_, w_.astype(jnp.bfloat16), b, pad, tgt, 500,
+            interpret=True)[0]
+
+    def f_xla(h_, w_):
+        return _xla(h_, w_.astype(jnp.bfloat16).astype(jnp.float32), b,
+                    pad, tgt, 500)[0]
+
+    got, gn = fused_ce.fused_rec_cross_entropy(h, w16, b, pad, tgt, 500,
+                                               interpret=True)
+    want, wn = _xla(h, w16.astype(jnp.float32), b, pad, tgt, 500)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-3)
+    assert int(gn) == int(wn)
+
+    # grads w.r.t. the f32 master weight, THROUGH the use-site cast —
+    # exactly what the optimizer sees (parallel/strategy.LocalOps._cls)
+    g1 = jax.grad(f_fused, argnums=(0, 1))(h, w)
+    g2 = jax.grad(f_xla, argnums=(0, 1))(h, w)
+    for a, b_, name in zip(g1, g2, "h w".split()):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.array(a), np.array(b_), atol=2e-2,
+                                   err_msg=name)
+
+
+def test_fused_ce_2gib_operand_rejected():
+    # round-3 verdict: an operand of EXACTLY 2^31 bytes hung/miscompiled;
+    # the guard must reject >=, and a bf16 operand of the same shape
+    # (2^30 bytes) must pass.
+    with pytest.raises(ValueError, match="2 GiB"):
+        fused_ce._pick_blocks(128, 1 << 20, d=512, w_bytes=4)
+    fused_ce._pick_blocks(128, 1 << 20, d=512, w_bytes=2)   # ok
+    with pytest.raises(ValueError, match="2 GiB"):
+        fused_ce._pick_blocks(128, 1 << 21, d=512, w_bytes=2)
+
+
 def test_fused_ce_nonaligned_rows():
     # B*R = 12 not a multiple of 128 -> row padding path
     h, w, b, pad, tgt = _case(2, B=3, R=4)

@@ -340,3 +340,57 @@ def test_dp_gradient_matches_single_device(mesh):
     w_r = jax.device_put(w, mesh_mod.replicated(mesh))
     g2 = jax.jit(jax.grad(loss))(w_r, x_s)
     np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-6)
+
+
+def test_sharded_train_step_a2a_lookup_matches_local(mesh):
+    """The a2a tower-lookup strategy (cfg.lookup_mode='a2a': ids sharded
+    over the full mesh, bucket-by-owner exchange + all_gather,
+    parallel/embed.a2a_lookup_replicated) must reproduce the local step's
+    loss AND embedding-table gradients."""
+    import jax.numpy as jnp
+    from c2dsr_tpu.config import Config, DataSpec, padded_sizes
+    from c2dsr_tpu.data import preprocess, synthetic
+    from c2dsr_tpu.graph import build
+    from c2dsr_tpu.model import c2dsr, params as params_mod
+    from c2dsr_tpu.ops import spmm
+    from c2dsr_tpu.parallel import mesh as mesh_mod, strategy
+    from c2dsr_tpu.train import step as step_mod
+
+    cfg_local = Config(data="fk", d_latent=32, len_rec=5,
+                       vocab_pad_multiple=128)
+    cfg_shard = cfg_local.with_(mesh_data=mesh.shape["data"],
+                                mesh_model=mesh.shape["model"],
+                                lookup_mode="a2a")
+    spec = DataSpec(n_item_a=150, n_item_b=200, len_max=15)
+    seqs = synthetic.generate_sequences(spec, 120, seed=13)
+    train = preprocess.preprocess_train(seqs, spec, seed=13)
+    gs, gp = build.build_graphs(seqs, spec)
+    n_p = padded_sizes(cfg_shard, spec)[0]
+    graphs = c2dsr.Graphs(share=spmm.device_graph(gs),
+                          specific=spmm.device_graph(gp))
+    graphs_s = c2dsr.Graphs(
+        share=spmm.attach_a2a_plan(graphs.share, n_p, 4),
+        specific=spmm.attach_a2a_plan(graphs.specific, n_p, 4))
+    params = params_mod.init_params(jax.random.PRNGKey(0), cfg_local, spec)
+    batch = {k: jnp.asarray(v[:16]) for k, v in train.items()}
+    rng = jax.random.PRNGKey(5)
+
+    (l_local, _), g_local = jax.value_and_grad(
+        step_mod.loss_fn, has_aux=True)(
+            params, graphs, batch, rng, cfg_local, spec,
+            strategy.LocalOps(cfg=cfg_local))
+
+    pops = strategy.make_ops(cfg_shard, mesh)
+    assert cfg_shard.lookup_mode == "a2a"
+    params_s = jax.device_put(params, mesh_mod.params_shardings(params, mesh))
+    batch_s = {k: jax.device_put(v, mesh_mod.batch_sharding(mesh))
+               for k, v in batch.items()}
+    (l_shard, _), g_shard = jax.jit(jax.value_and_grad(
+        lambda p, b: step_mod.loss_fn(p, graphs_s, b, rng, cfg_shard, spec,
+                                      pops), has_aux=True))(params_s, batch_s)
+    np.testing.assert_allclose(float(l_shard), float(l_local), rtol=1e-4)
+    for name in ("embed_share", "embed_a", "embed_b", "cls_a_w"):
+        ga, gl = np.asarray(g_shard[name]), np.asarray(g_local[name])
+        scale = max(1e-3, float(np.abs(gl).max()))
+        np.testing.assert_allclose(ga, gl, atol=1e-4 * scale,
+                                   err_msg=name)

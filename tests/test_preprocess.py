@@ -104,3 +104,28 @@ def test_eval_idx_last_sentinel_when_domain_absent():
     assert out["xory_last"][0] == 1
     assert out["idx_last_b"][0] == -1
     assert out["idx_last_a"][0] == 7
+
+
+def test_use_raw_forces_rebuild(tmp_path):
+    """--use_raw must bypass a stale cache and rewrite it (main.py:23)."""
+    from c2dsr_tpu.data import synthetic
+    raw_dir = str(tmp_path / "raw")
+    cache_dir = str(tmp_path / "proc")
+    seqs = synthetic.generate_sequences(SPEC, 20, seed=5)
+    synthetic.write_reference_tsv(seqs, raw_dir + "/train_new.txt")
+
+    out1 = preprocess.load_or_build_split(raw_dir, cache_dir, "train", SPEC,
+                                          seed=0)
+    # poison the cache: without use_raw the stale cache is served
+    stale = {k: np.zeros_like(v) for k, v in out1.items()}
+    np.savez_compressed(cache_dir + "/train.std.npz", **stale)
+    served = preprocess.load_or_build_split(raw_dir, cache_dir, "train",
+                                            SPEC, seed=0)
+    assert not np.array_equal(served["seq_share"], out1["seq_share"])
+    # use_raw rebuilds from text AND rewrites the cache
+    rebuilt = preprocess.load_or_build_split(raw_dir, cache_dir, "train",
+                                             SPEC, seed=0, use_raw=True)
+    np.testing.assert_array_equal(rebuilt["seq_share"], out1["seq_share"])
+    again = preprocess.load_or_build_split(raw_dir, cache_dir, "train",
+                                           SPEC, seed=0)
+    np.testing.assert_array_equal(again["seq_share"], out1["seq_share"])

@@ -44,20 +44,8 @@ pytestmark = pytest.mark.skipif(
 NA, NB, LEN_MAX, BATCH = 50, 70, 15, 32
 
 
-@pytest.fixture(scope="module")
-def ref_setup(tmp_path_factory):
-    """Reference Trainer on synthetic raw data + the paths used."""
-    tmp = tmp_path_factory.mktemp("refparity")
-    raw_dir = str(tmp / "raw")
-    proc_dir = str(tmp / "proc")
-    os.makedirs(proc_dir, exist_ok=True)
-    spec = DataSpec(n_item_a=NA, n_item_b=NB, len_max=LEN_MAX)
-    seqs = synthetic.generate_sequences(spec, 120, seed=7)
-    for mode in ("train", "val", "test"):
-        synthetic.write_reference_tsv(
-            seqs, os.path.join(raw_dir, f"{mode}_new.txt"))
-    synthetic.write_item_lists(spec, raw_dir)
-
+def _build_trainer(raw_dir: str, proc_dir: str, **over):
+    """The unmodified reference Trainer on the given raw data."""
     args = SimpleNamespace(
         data="fk", dataset="Food-Kitchen", len_rec=10, use_raw=True,
         n_neg_sample=10, zip_ee=False, d_latent=32,
@@ -72,6 +60,8 @@ def ref_setup(tmp_path_factory):
         n_item_a=NA, n_item_b=NB, n_item=NA + NB + 1,
         idx_pad=NA + NB, device=torch.device("cpu"),
     )
+    for k, v in over.items():
+        setattr(args, k, v)
 
     sys.path.insert(0, REFERENCE)
     try:
@@ -85,6 +75,30 @@ def ref_setup(tmp_path_factory):
         trainer = Trainer(args, _Noter())
     finally:
         sys.path.remove(REFERENCE)
+    return trainer, args
+
+
+@pytest.fixture(scope="module")
+def ref_data(tmp_path_factory):
+    """Synthetic raw data in reference TSV format + its DataSpec."""
+    tmp = tmp_path_factory.mktemp("refparity")
+    raw_dir = str(tmp / "raw")
+    proc_dir = str(tmp / "proc")
+    os.makedirs(proc_dir, exist_ok=True)
+    spec = DataSpec(n_item_a=NA, n_item_b=NB, len_max=LEN_MAX)
+    seqs = synthetic.generate_sequences(spec, 120, seed=7)
+    for mode in ("train", "val", "test"):
+        synthetic.write_reference_tsv(
+            seqs, os.path.join(raw_dir, f"{mode}_new.txt"))
+    synthetic.write_item_lists(spec, raw_dir)
+    return raw_dir, proc_dir, spec
+
+
+@pytest.fixture(scope="module")
+def ref_setup(ref_data):
+    """Reference Trainer on synthetic raw data + the paths used."""
+    raw_dir, proc_dir, spec = ref_data
+    trainer, args = _build_trainer(raw_dir, proc_dir)
     return trainer, args, raw_dir, spec
 
 
@@ -173,8 +187,6 @@ def _params_from_torch(model, cfg, spec, grad=False):
 
     p = {
         "embed_share": pad_rows(src(model.embed_i.weight), n_p),
-        "embed_a": pad_rows(src(model.embed_i_a.weight), n_p),
-        "embed_b": pad_rows(src(model.embed_i_b.weight), n_p),
         "attn_share": enc(model.attn_share),
         "attn_a": enc(model.attn_a),
         "attn_b": enc(model.attn_b),
@@ -191,6 +203,15 @@ def _params_from_torch(model, cfg, spec, grad=False):
         "D_a_w": src(model.D_a.weight)[0],
         "D_b_w": src(model.D_b.weight)[0],
     }
+    if not cfg.shared_item_embed:
+        # aliased tables (C2DSR.py:21-26): the reference's embed_i_a/b ARE
+        # embed_i, so grads accumulate into the one table — matched by our
+        # single embed_share param under cfg.shared_item_embed
+        p["embed_a"] = pad_rows(src(model.embed_i_a.weight), n_p)
+        p["embed_b"] = pad_rows(src(model.embed_i_b.weight), n_p)
+    if cfg.d_bias:
+        p["D_a_b"] = src(model.D_a.bias)
+        p["D_b_b"] = src(model.D_b.bias)
     return jax.tree.map(jnp.asarray, p)
 
 
@@ -215,7 +236,23 @@ def test_graph_matches_reference(ref_setup):
 
 def test_one_step_loss_and_grads_match_reference(ref_setup):
     trainer, args, raw_dir, spec = ref_setup
-    cfg = _cfg(args)
+    _assert_one_step_parity(trainer, args, raw_dir, spec)
+
+
+def test_one_step_parity_shared_embed_and_d_bias(ref_data):
+    """Model variants round 2/3 flagged untested: shared_item_embed=True
+    (three towers backprop into ONE aliased table, C2DSR.py:21-26) and
+    d_bias=True (bias on the bilinear discriminators, C2DSR.py:46-55).
+    Same one-step loss+grad parity as the default-config test."""
+    raw_dir, proc_dir, spec = ref_data
+    trainer, args = _build_trainer(raw_dir, proc_dir,
+                                   shared_item_embed=True, d_bias=True)
+    _assert_one_step_parity(trainer, args, raw_dir, spec)
+
+
+def _assert_one_step_parity(trainer, args, raw_dir, spec):
+    cfg = _cfg(args).with_(shared_item_embed=args.shared_item_embed,
+                           d_bias=args.d_bias)
     model = trainer.model
     model.train()
 

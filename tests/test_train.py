@@ -128,3 +128,46 @@ def test_overfit_improves_ranking(setup):
     ranks_a, ranks_b = exp.run_eval(val)
     mean_rank = np.mean(ranks_a + ranks_b)
     assert mean_rank < 9.0, mean_rank
+
+
+def test_padded_batch_valid_matches_unpadded(setup):
+    """A pad_to_multiple batch (padded duplicate rows + valid mask,
+    data/pipeline.py) must reproduce the unpadded ragged batch's loss and
+    gradients — the claim the multi-host input path relies on
+    (trainer.py:47 ragged batches; train/step.loss_fn valid handling)."""
+    from c2dsr_tpu.data.pipeline import BatchIterator
+    cfg, spec, train, val, graphs = setup
+    cfg = cfg.with_(dropout_gnn=0.0, dropout_attn=0.0)   # deterministic
+    n = 13
+    sub = {k: v[:n] for k, v in train.items()}
+
+    it = BatchIterator(sub, batch_size=16, shuffle=False, pad_to_multiple=8)
+    padded = next(iter(it.epoch()))
+    assert padded["seq_share"].shape[0] == 16
+    assert padded["valid"].sum() == n and padded["valid"][n:].sum() == 0
+
+    rng = jax.random.PRNGKey(3)
+    batch_u = {k: jnp.asarray(v) for k, v in sub.items()}
+    batch_p = {k: jnp.asarray(v) for k, v in padded.items()}
+
+    (l_u, aux_u), g_u = jax.value_and_grad(
+        lambda p: step_mod.loss_fn(p, graphs, batch_u, rng, cfg, spec),
+        has_aux=True)(params_mod.init_params(jax.random.PRNGKey(0), cfg,
+                                             spec))
+    (l_p, aux_p), g_p = jax.value_and_grad(
+        lambda p: step_mod.loss_fn(p, graphs, batch_p, rng, cfg, spec),
+        has_aux=True)(params_mod.init_params(jax.random.PRNGKey(0), cfg,
+                                             spec))
+
+    np.testing.assert_allclose(float(l_p), float(l_u), rtol=1e-6)
+    for k in ("loss_rec", "loss_mi"):
+        np.testing.assert_allclose(float(aux_p[k]), float(aux_u[k]),
+                                   rtol=1e-6)
+    assert float(aux_p["n_examples"]) == n
+    paths = jax.tree_util.tree_flatten_with_path(g_u)[0]
+    flat_p = jax.tree.flatten(g_p)[0]
+    for (path, gu), gp in zip(paths, flat_p):
+        scale = max(1.0, float(np.abs(np.asarray(gu)).max()))
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gu), atol=2e-6 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
