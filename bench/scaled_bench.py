@@ -131,9 +131,13 @@ def _measure_ce(key, rng, v, w_dtype, validate_grads: bool) -> Dict:
     res: Dict = {"v": v, "w_dtype": jnp.dtype(w_dtype).name}
 
     # ---- forward validation (always) --------------------------------------
-    rows_fn = jax.jit(lambda: fused_ce.fused_rec_ce_rows(h, w, b, pad, tgt,
-                                                         n_real))
-    got = np.asarray(rows_fn()).reshape(B * R)
+    # h/w MUST be jit ARGUMENTS: closing over them embeds the GiB-scale
+    # classifier as an HLO constant, which hangs the XLA/Mosaic compile
+    # (observed: >14 min stuck in backend_compile; the round-3 "third run
+    # hung >9 min" had the same cause)
+    rows_fn = jax.jit(lambda hh, ww: fused_ce.fused_rec_ce_rows(
+        hh, ww, b, pad, tgt, n_real))
+    got = np.asarray(rows_fn(h, w)).reshape(B * R)
     n_check = 256
     bm = fused_ce.mask_bias(b, n_real, v)
     want = _chunked_ce_oracle(h.reshape(B * R, D), w, bm,
@@ -152,22 +156,26 @@ def _measure_ce(key, rng, v, w_dtype, validate_grads: bool) -> Dict:
         from c2dsr_tpu.ops import losses
 
         @jax.jit
-        def g_oracle(hc, pc, tc):
+        def g_oracle(hc, pc, tc, wf):
+            # wf must be an ARGUMENT, not a closure capture: a closed-over
+            # GiB-scale array becomes an embedded HLO constant and hangs
+            # the compile (same trap as rows_fn above)
             def f(hh, ww):
                 logits = jnp.einsum(
                     "brd,dv->brv", hh, ww,
                     preferred_element_type=jnp.float32) + b
                 return jnp.sum(losses.rec_ce_row_losses(logits, pc, tc,
                                                         n_real))
-            return jax.grad(f, argnums=(0, 1))(hc, w.astype(jnp.float32))
+            return jax.grad(f, argnums=(0, 1))(hc, wf)
 
         dh, dw = grad(h, w)
         dh = np.asarray(dh)
         dw = np.asarray(dw, np.float32)
+        wf = w.astype(jnp.float32)
         dh_err, dw_acc = 0.0, np.zeros_like(dw)
         for s in range(0, B, 64):
             dh_c, dw_c = g_oracle(h[s:s + 64], pad[s:s + 64],
-                                  tgt[s:s + 64])
+                                  tgt[s:s + 64], wf)
             dh_err = max(dh_err, float(np.max(np.abs(
                 dh[s:s + 64] - np.asarray(dh_c)))))
             dw_acc += np.asarray(dw_c, np.float32)

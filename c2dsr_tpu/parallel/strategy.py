@@ -32,11 +32,17 @@ class LocalOps:
     def lookup(self, table: jax.Array, ids: jax.Array) -> jax.Array:
         return table[ids]
 
+    def _interpret(self) -> bool:
+        """Pallas interpreter toggle: lets the production kernel path run on
+        CPU (fast-path parity tests); never engages on real TPU."""
+        return self.cfg.pallas_interpret and jax.default_backend() != "tpu"
+
     def spmm_propagate(self, graph: spmm_mod.CooDevice, h: jax.Array,
                       n_layers: int, dropout: float, rng) -> jax.Array:
         return spmm_mod.gcn_propagate(
             graph, h, n_layers, dropout, rng,
             backend=backend_mod.resolve(self.cfg),
+            interpret=self._interpret(),
             gather_dtype=jnp.dtype(self.cfg.resolved_compute_dtype()))
 
     def _cls(self, w: jax.Array) -> jax.Array:
@@ -51,7 +57,8 @@ class LocalOps:
         if backend_mod.resolve(self.cfg) == "pallas":
             from c2dsr_tpu.ops import fused_ce
             return fused_ce.fused_rec_ce_rows(h, self._cls(w), b, pad_logit,
-                                              targets, n_real)
+                                              targets, n_real,
+                                              interpret=self._interpret())
         logits = jnp.einsum("brd,dv->brv", h, w,
                             preferred_element_type=jnp.float32) + b
         return losses_mod.rec_ce_row_losses(logits, pad_logit, targets,

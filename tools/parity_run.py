@@ -75,7 +75,8 @@ def _ref_eval_ranks(trainer):
 
 def run(n_users=576, n_val=192, na=300, nb=400, d_latent=64, batch_size=64,
         n_epochs=4, lr_step=2, n_neg=99, seed=3407, backend="xla",
-        compute_dtype="float32", highest_precision=True):
+        compute_dtype="float32", highest_precision=True,
+        pallas_interpret=False):
     import jax
 
     if highest_precision:
@@ -133,7 +134,13 @@ def run(n_users=576, n_val=192, na=300, nb=400, d_latent=64, batch_size=64,
                  dropout_attn=0.0, lr_step=lr_step, batch_size=batch_size,
                  batch_size_eval=256, n_neg_sample=n_neg, eval_mode="sampled",
                  kernel_backend=backend, compute_dtype=compute_dtype,
+                 pallas_interpret=pallas_interpret,
                  bug_inverted_padding_mask=True, bug_epoch_grad_accum=True)
+    if pallas_interpret and jax.default_backend() != "tpu":
+        # engage the fused-encoder kernel's interpreter too (its toggle is
+        # process-local, ops/encoder_pallas.py:500)
+        from c2dsr_tpu.ops import encoder_pallas
+        encoder_pallas.st_interpret.set(True)
     seqs = raw_mod.parse_interactions(os.path.join(raw_dir, "train_new.txt"))
     g_share, g_spec = graph_build.build_graphs(seqs, spec)
     graphs = c2dsr.Graphs(share=spmm.device_graph(g_share),
