@@ -151,20 +151,42 @@ def main():
     tgt = jnp.asarray(rng.integers(0, V, size=(N, 1)), jnp.int32)
     flops = 2.0 * N * V * D
 
-    for bn, bv in ((512, 1024), (512, 2048), (256, 2048), (256, 4096),
-                   (1024, 1024), (1024, 2048)):
+    # oracle lse from the production kernel (itself validated in
+    # bench/kernel_bench.py against a chunked XLA oracle)
+    from c2dsr_tpu.ops import fused_ce
+    pad = jnp.full((N, 1), -1e9, jnp.float32)
+    lse_o, tlog_o = jax.jit(
+        lambda h, w: fused_ce.fused_ce(h, w, b, pad, tgt))(h, w)
+    lse_o = np.asarray(lse_o)
+
+    for bn, bv in ((512, 1024), (256, 1024), (1024, 1024), (2048, 1024),
+                   (512, 3584), (512, 9216)):
         if N % bn or V % bv:
             continue
         for variant in ("base", "nomatch", "exp2", "bf16exp", "matmulonly"):
             try:
                 f = variant_fn(variant, N, D, V, bn, bv)
                 hh = h * LOG2E if variant == "exp2" else h
+                lse_v = np.asarray(f(hh, w, b, tgt)[0])
+                if variant == "base":
+                    err = float(np.max(np.abs(lse_v - lse_o)))
+                    assert err < 1e-4, f"WRONG OUTPUT err={err}"
+                elif variant == "exp2":
+                    err = float(np.max(np.abs(lse_v * float(np.log(2.0))
+                                              - lse_o)))
+                    assert err < 1e-2, f"WRONG OUTPUT err={err}"
                 t = _timeit(f, hh, w, b, tgt)
+                # a timed value faster than one W stream (bytes/peak-BW) is
+                # physically impossible -> the device returned without
+                # executing (observed on this tunnel); flag loudly
+                floor = (D * V * 4) / (819e9)
+                flag = "  << UNPHYSICAL" if t < floor else ""
                 print(f"bn={bn:5d} bv={bv:5d} {variant:11s} "
-                      f"{t*1e6:8.1f} us  {flops/t/1e12:6.1f} TF/s")
+                      f"{t*1e6:8.1f} us  {flops/t/1e12:6.1f} TF/s{flag}",
+                      flush=True)
             except Exception as e:  # noqa: BLE001 - experiment harness
                 print(f"bn={bn:5d} bv={bv:5d} {variant:11s} FAILED: "
-                      f"{type(e).__name__}: {str(e)[:100]}")
+                      f"{type(e).__name__}: {str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,10 @@ def run(n_users=576, n_val=192, na=300, nb=400, d_latent=64, batch_size=64,
 
     if highest_precision:
         jax.config.update("jax_default_matmul_precision", "highest")
+    else:
+        # reset in case a prior run() in this process raised it — the fast
+        # path must measure PRODUCTION numerics (default precision)
+        jax.config.update("jax_default_matmul_precision", "default")
     import jax.numpy as jnp
 
     from c2dsr_tpu import metrics
