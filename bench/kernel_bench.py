@@ -214,7 +214,33 @@ def bench_spmm(d=128):
     e16 = _entry("blocked_spmm_bf16_gather", t16, flops, bytes16,
                  median=t16_med, validated={"max_abs_err": err16})
     e16["nnz"] = nnz
-    return [e, e16]
+
+    # batch-sparse fwd+bwd (the training configuration, train/step.py):
+    # ~B*L marked rows out of n; dead edges gather one hot row
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, n, size=512 * 16), jnp.int32)
+    flag = jnp.zeros(n, jnp.float32).at[ids].set(1.0)
+    stepf = spmm_pallas.make_blocked_spmm_flagged(
+        graph.bk_fwd, graph.bk_bwd, False, gather_dtype=jnp2.bfloat16)
+    sel = np.asarray(ids)
+    got_f = np.asarray(jax.jit(lambda: stepf(h, flag))())[sel]
+    err_f = float(np.max(np.abs(got_f - np.asarray(fwd16())[sel])))
+    assert err_f == 0.0, f"flagged spmm mismatch on marked rows: {err_f}"
+    gradf = jax.jit(jax.grad(lambda hh: jnp.sum(stepf(hh, flag)[ids] ** 2)))
+    grad16 = jax.jit(jax.grad(lambda hh: jnp.sum(step16(hh)[ids] ** 2)))
+    gerr = float(np.max(np.abs(np.asarray(gradf(h)) - np.asarray(grad16(h)))))
+    assert gerr == 0.0, f"flagged spmm grad mismatch: {gerr}"
+    tf_, tf_med = _timeit(jax.jit(lambda: stepf(h, flag)))
+    tfb, tfb_med = _timeit(lambda: gradf(h))
+    ef = _entry("blocked_spmm_bf16_batch_sparse", tf_, flops, bytes16,
+                median=tf_med, validated={"marked_rows_max_abs_err": err_f,
+                                          "grad_max_abs_err": gerr})
+    ef["nnz"] = nnz
+    ef["marked_rows"] = int(np.unique(sel).shape[0])
+    efb = _entry("blocked_spmm_bf16_batch_sparse_fwd_bwd", tfb, 2 * flops,
+                 2 * bytes16, median=tfb_med)
+    efb["nnz"] = nnz
+    return [e, e16, ef, efb]
 
 
 def bench_encoder(B=512, L=15, d=128, n_layers=1, n_head=1):

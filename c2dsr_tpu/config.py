@@ -89,6 +89,17 @@ class Config:
     classifier_dtype: str = "auto"
     # Kernel backend: "xla" (portable) or "pallas" (TPU fused kernels).
     kernel_backend: str = "auto"    # auto -> pallas on TPU, xla elsewhere
+    # Batch-sparse graph propagation in the TRAIN step (Pallas path): mask
+    # SpMM edges outside the batch's neighborhood — the step reads only
+    # batch rows of the propagated tables and their cotangent is zero
+    # elsewhere, so every consumed value and every gradient is exactly the
+    # dense computation's (ops/spmm_pallas.make_blocked_spmm_flagged).
+    # Eval/convolve-for-ranking always runs dense.  Default OFF: measured
+    # SLOWER at FK scale on v5e (22.1 vs 17.0 ms/step) — the XLA row-marker
+    # scatters and the masked gather's unchanged transaction count eat the
+    # saved bytes; the switch exists for larger/denser graphs where the
+    # batch neighborhood is a smaller fraction of nnz.
+    batch_sparse_gnn: bool = False
     # Off-TPU, run shard-local Pallas kernels through the interpreter instead
     # of falling back to XLA (fake-pod dryrun/tests of the sharded fast path).
     pallas_interpret: bool = False

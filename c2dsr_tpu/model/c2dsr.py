@@ -59,24 +59,28 @@ def embedding_tables(params: Dict[str, Any], cfg: Config, spec: DataSpec
 
 def convolve_graph(params: Dict[str, Any], graphs: Graphs, cfg: Config,
                    spec: DataSpec, rng: Optional[jax.Array],
-                   pops=None) -> Propagated:
+                   pops=None, out_flags=None) -> Propagated:
     """Propagate all three tables through their GCNs (C2DSR.py:59-62).
 
     rng=None -> eval mode (no dropout).  Differentiable in params.
     pops = parallel-op strategy (parallel/strategy.py); None -> local.
+    out_flags: optional (flag_share, flag_ab) 0/1 f32 row markers of the
+    rows the caller will read (batch-sparse training propagation,
+    ops/spmm.gcn_propagate); None -> dense (eval / full-table consumers).
     """
     pops = pops or _local_ops(cfg)
     e_share, e_a, e_b = embedding_tables(params, cfg, spec)
     r = (lambda i: None) if rng is None else (lambda i: jax.random.fold_in(rng, i))
+    f_share, f_ab = out_flags if out_flags is not None else (None, None)
     hi_share = pops.spmm_propagate(graphs.share, e_share, cfg.n_gnn,
-                                   cfg.dropout_gnn, r(0))
+                                   cfg.dropout_gnn, r(0), out_flag=f_share)
     # A and B propagate through the SAME adjacency (C2DSR.py:61-62), so run
     # them as one pass over the feature-concatenated table: one gather over
     # the edge list serves both.  Feature-dim concat keeps dropout iid per
     # element, identical in distribution to two independent passes.
     e_ab = jnp.concatenate([e_a, e_b], axis=1)
     hi_ab = pops.spmm_propagate(graphs.specific, e_ab, cfg.n_gnn,
-                                cfg.dropout_gnn, r(1))
+                                cfg.dropout_gnn, r(1), out_flag=f_ab)
     hi_a, hi_b = jnp.split(hi_ab, 2, axis=1)
     return Propagated(share=hi_share, a=hi_a, b=hi_b)
 

@@ -98,7 +98,8 @@ def spmm(graph: CooDevice, h: jax.Array) -> jax.Array:
 def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,
                   dropout: float, rng: jax.Array | None,
                   backend: str = "xla", interpret: bool = False,
-                  gather_dtype=jnp.float32) -> jax.Array:
+                  gather_dtype=jnp.float32,
+                  out_flag: jax.Array | None = None) -> jax.Array:
     """LightGCN-style propagation: mean of all layer outputs incl. the input
     (models/encoders.py:42-48).  Dropout before each spmm in train mode.
 
@@ -107,13 +108,24 @@ def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,
     feature dim is lane-aligned; otherwise falls back to gather+segment-sum.
     gather_dtype=bfloat16 (Pallas path only) halves the [nnz, d] gather
     round-trip — see spmm_pallas.blocked_spmm_impl.
+
+    out_flag (Pallas path, training): 0/1 f32 row marker of the rows the
+    caller will READ from the result — batch-sparse propagation
+    (spmm_pallas.make_blocked_spmm_flagged).  Applied to the LAST hop only
+    (earlier hops feed later hops' gathers at arbitrary rows, so they stay
+    dense); unmarked rows of the result are garbage the caller must not
+    read.  Exact on every marked row.
     """
     step = lambda x: spmm(graph, x)
+    flag_step = None
     if backend == "pallas" and graph.bk_fwd is not None:
         from c2dsr_tpu.ops import spmm_pallas
         if spmm_pallas.supports(h.shape[1]):
             step = spmm_pallas.make_blocked_spmm(graph.bk_fwd, graph.bk_bwd,
                                                  interpret, gather_dtype)
+            if out_flag is not None:
+                flag_step = spmm_pallas.make_blocked_spmm_flagged(
+                    graph.bk_fwd, graph.bk_bwd, interpret, gather_dtype)
     h_sum = h
     cur = h
     for i in range(n_layers):
@@ -121,6 +133,9 @@ def gcn_propagate(graph: CooDevice, h: jax.Array, n_layers: int,
             key = jax.random.fold_in(rng, i)
             keep = jax.random.bernoulli(key, 1.0 - dropout, cur.shape)
             cur = jnp.where(keep, cur / (1.0 - dropout), 0.0).astype(cur.dtype)
-        cur = step(cur)
+        if flag_step is not None and i == n_layers - 1:
+            cur = flag_step(cur, out_flag)
+        else:
+            cur = step(cur)
         h_sum = h_sum + cur
     return h_sum / (n_layers + 1)

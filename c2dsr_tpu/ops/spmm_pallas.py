@@ -47,6 +47,7 @@ class BlockedCoo(NamedTuple):
     vals: jax.Array     # f32   [n_chunk * E] edge weights (0 on padding)
     rowloc: jax.Array   # int32 [n_chunk, E] row id local to the row block
     rb: jax.Array       # int32 [n_chunk]    output row-block per chunk
+    dest: jax.Array     # int32 [n_chunk * E] global output row per edge
     n_rows: int         # table rows this prep was built for
     n_rows_pad: int     # n_rows rounded up to r_block
     r_block: int = R_BLOCK   # output rows per block this prep was packed for
@@ -83,11 +84,15 @@ def prep(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         c_rloc.append(np.pad(rows[s:e][o] - b * r_block,
                              (0, pad)).reshape(n_ch, e_block))
         c_rb.extend([b] * n_ch)
+    rloc = np.concatenate(c_rloc)
+    rb_arr = np.array(c_rb)
+    dest = (rloc + rb_arr[:, None] * r_block).reshape(-1)
     return BlockedCoo(
         cols=jnp.asarray(np.concatenate(c_cols).reshape(-1), jnp.int32),
         vals=jnp.asarray(np.concatenate(c_vals).reshape(-1), jnp.float32),
-        rowloc=jnp.asarray(np.concatenate(c_rloc), jnp.int32),
-        rb=jnp.asarray(np.array(c_rb), jnp.int32),
+        rowloc=jnp.asarray(rloc, jnp.int32),
+        rb=jnp.asarray(rb_arr, jnp.int32),
+        dest=jnp.asarray(dest, jnp.int32),
         n_rows=int(n_rows), n_rows_pad=int(n_rows_pad),
         r_block=int(r_block), e_block=int(e_block))
 
@@ -124,24 +129,47 @@ def _kernel(rb_ref, rowloc_ref, gathered_ref, out_ref, *, r_block: int):
 
 def blocked_spmm_impl(bk: BlockedCoo, h: jax.Array,
                       interpret: bool = False,
-                      gather_dtype=jnp.float32) -> jax.Array:
+                      gather_dtype=jnp.float32,
+                      flag: jax.Array | None = None,
+                      flag_on: str = "dest") -> jax.Array:
     """``adj @ h`` for a prepped graph.  h: [n_rows, d] f32 -> [n_rows, d].
 
     gather_dtype=bfloat16 halves the [nnz, d] intermediate's HBM round-trip
     (the dominant traffic; the XLA gather runs ~4x off peak on random rows)
     — ~40% faster per hop at FK scale, error bounded by bf16 rounding of
-    the gathered values (accumulation stays f32)."""
+    the gathered values (accumulation stays f32).
+
+    flag: optional f32 [>= n_rows] 0/1 row marker enabling BATCH-SPARSE
+    propagation.  Edges are masked (gather index -> row 0, weight -> 0)
+    when the marked row test fails, so the masked gather reads one hot tile
+    instead of scattered HBM rows:
+      * flag_on="dest": mask edges whose OUTPUT row is unmarked — exact for
+        every marked output row; unmarked rows hold garbage that callers
+        must never read (training reads only batch rows).
+      * flag_on="src": mask edges whose GATHERED row is unmarked — exact
+        when unmarked rows of ``h`` are zero (a backward cotangent that is
+        only nonzero on batch rows).
+    """
     assert h.shape[0] == bk.n_rows, (h.shape, bk.n_rows)
     d = h.shape[1]
     n_chunk = bk.rb.shape[0]
     e_block = bk.rowloc.shape[1]
+    cols, vals = bk.cols, bk.vals
+    if flag is not None:
+        if flag.shape[0] < bk.n_rows_pad:   # dest ids reach n_rows_pad - 1
+            flag = jnp.concatenate(
+                [flag, jnp.zeros(bk.n_rows_pad - flag.shape[0], flag.dtype)])
+        probe = bk.dest if flag_on == "dest" else bk.cols
+        member = flag[probe] > 0.0
+        cols = jnp.where(member, cols, 0)
+        vals = jnp.where(member, vals, 0.0)
     if jnp.dtype(gather_dtype) == jnp.float32:
-        gathered = (h[bk.cols] * bk.vals[:, None].astype(h.dtype)
+        gathered = (h[cols] * vals[:, None].astype(h.dtype)
                     ).astype(jnp.float32)
     else:
         # cast the table ONCE (n*d/2 write), gather the smaller rows
-        gathered = (h.astype(gather_dtype)[bk.cols]
-                    * bk.vals[:, None].astype(gather_dtype))
+        gathered = (h.astype(gather_dtype)[cols]
+                    * vals[:, None].astype(gather_dtype))
 
     r_block = bk.r_block
     out = pl.pallas_call(
@@ -168,14 +196,14 @@ def blocked_spmm_impl(bk: BlockedCoo, h: jax.Array,
 
 
 def _apply(bk: BlockedCoo, h: jax.Array, interpret: bool,
-           gather_dtype=jnp.float32) -> jax.Array:
+           gather_dtype=jnp.float32, flag=None, flag_on="dest") -> jax.Array:
     """Run the kernel on a table that may carry extra (edge-free) pad rows
     beyond the graph dim (vocab_pad_multiple in model/params.py): slice the
     prepped rows, propagate, zero-pad back (pad rows have no edges in
     either direction, so their output and gradient are exactly zero)."""
     n = h.shape[0]
     out = blocked_spmm_impl(bk, h[:bk.n_rows].astype(jnp.float32), interpret,
-                            gather_dtype)
+                            gather_dtype, flag, flag_on)
     if n > bk.n_rows:
         out = jnp.concatenate(
             [out, jnp.zeros((n - bk.n_rows, h.shape[1]), out.dtype)])
@@ -195,6 +223,42 @@ def make_blocked_spmm(fwd: BlockedCoo, bwd: BlockedCoo,
 
     def f_bwd(_, g):
         return (_apply(bwd, g, interpret, gather_dtype),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def make_blocked_spmm_flagged(fwd: BlockedCoo, bwd: BlockedCoo,
+                              interpret: bool = False,
+                              gather_dtype=jnp.float32):
+    """Batch-sparse differentiable ``(h, flag) -> adj @ h``.
+
+    ``flag`` is a 0/1 f32 row marker of the rows the TRAINING step will
+    read downstream (the batch's lookup ids).  Both gather directions mask
+    dead edges to one hot table row, cutting the random-HBM traffic of the
+    per-batch graph propagation (trainer.py:48 reference semantics) to the
+    batch's neighborhood:
+
+      forward : output restricted to flagged rows (others hold garbage the
+                caller must never read — and autodiff guarantees their
+                cotangent is zero, since unread values get no gradient);
+      backward: the cotangent is nonzero ONLY on flagged rows, so edges
+                gathering from unflagged rows contribute exactly zero and
+                are masked; the produced dL/dh stays DENSE and exact.
+
+    Every value the step actually consumes is bit-identical to the dense
+    path (tests/test_spmm_pallas.py)."""
+
+    @jax.custom_vjp
+    def f(h, flag):
+        return _apply(fwd, h, interpret, gather_dtype, flag, "dest")
+
+    def f_fwd(h, flag):
+        return f(h, flag), flag
+
+    def f_bwd(flag, g):
+        return (_apply(bwd, g, interpret, gather_dtype, flag, "src"),
+                jnp.zeros_like(flag))
 
     f.defvjp(f_fwd, f_bwd)
     return f

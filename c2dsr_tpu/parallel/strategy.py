@@ -38,12 +38,14 @@ class LocalOps:
         return self.cfg.pallas_interpret and jax.default_backend() != "tpu"
 
     def spmm_propagate(self, graph: spmm_mod.CooDevice, h: jax.Array,
-                      n_layers: int, dropout: float, rng) -> jax.Array:
+                      n_layers: int, dropout: float, rng,
+                      out_flag: jax.Array | None = None) -> jax.Array:
         return spmm_mod.gcn_propagate(
             graph, h, n_layers, dropout, rng,
             backend=backend_mod.resolve(self.cfg),
             interpret=self._interpret(),
-            gather_dtype=jnp.dtype(self.cfg.resolved_compute_dtype()))
+            gather_dtype=jnp.dtype(self.cfg.resolved_compute_dtype()),
+            out_flag=out_flag)
 
     def _cls(self, w: jax.Array) -> jax.Array:
         """Classifier streaming dtype (cfg.classifier_dtype): bf16 halves
@@ -101,7 +103,10 @@ class ShardedOps(LocalOps):
         return embed.sharded_lookup(table, ids, self.mesh,
                                     ids_spec=self.batch_spec)
 
-    def spmm_propagate(self, graph, h, n_layers, dropout, rng):
+    def spmm_propagate(self, graph, h, n_layers, dropout, rng,
+                       out_flag=None):
+        # out_flag ignored: the row-sharded propagation is collective-bound,
+        # not gather-bound, and stays dense (values identical either way)
         from c2dsr_tpu.parallel import embed
         h_sum = h
         cur = h

@@ -51,7 +51,26 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
     from c2dsr_tpu.parallel import strategy
     pops = pops or strategy.LocalOps(cfg=cfg)
     r_gnn, r_fwd, r_neg = jax.random.split(rng, 3)
-    hi = c2dsr.convolve_graph(params, graphs, cfg, spec, r_gnn, pops)
+
+    # batch-sparse propagation (cfg.batch_sparse_gnn): mark the table rows
+    # this step will read — the shared tower looks up seq_share plus both
+    # corrupted sequences; the A/B towers (feature-stacked in one pass)
+    # look up seq_share_a / seq_share_b.  Marked-row values and ALL
+    # gradients are exactly the dense computation's; unmarked propagated
+    # rows are never read below.
+    out_flags = None
+    if cfg.batch_sparse_gnn and isinstance(pops, strategy.LocalOps) \
+            and not isinstance(pops, strategy.ShardedOps):
+        def row_flag(*id_arrays):
+            f = jnp.zeros(spec.n_item, jnp.float32)
+            for ids in id_arrays:
+                f = f.at[ids.reshape(-1)].set(1.0)
+            return f
+        out_flags = (row_flag(batch["seq_share"], batch["seq_share_neg_a"],
+                              batch["seq_share_neg_b"]),
+                     row_flag(batch["seq_share_a"], batch["seq_share_b"]))
+    hi = c2dsr.convolve_graph(params, graphs, cfg, spec, r_gnn, pops,
+                              out_flags=out_flags)
 
     B = batch["seq_share"].shape[0]
     # The shared tower runs on three sequences per example (positive +

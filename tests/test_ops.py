@@ -102,6 +102,57 @@ def test_blocked_spmm_grad_matches_xla_path():
     np.testing.assert_array_equal(gp[g.n:], 0.0)
 
 
+def test_blocked_spmm_flagged_exact_on_marked_rows():
+    """Batch-sparse SpMM (make_blocked_spmm_flagged): on every MARKED row
+    the value is bit-identical to the dense kernel, and the FULL gradient
+    matches exactly when the downstream loss reads only marked rows (the
+    training contract, train/step.py)."""
+    from c2dsr_tpu.ops import spmm_pallas
+    g = _random_graph(7)
+    dev = spmm.device_graph(g, blocked=True)
+    dense = spmm_pallas.make_blocked_spmm(dev.bk_fwd, dev.bk_bwd,
+                                          interpret=True)
+    flagged = spmm_pallas.make_blocked_spmm_flagged(dev.bk_fwd, dev.bk_bwd,
+                                                    interpret=True)
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.normal(size=(g.n, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, g.n, size=17), jnp.int32)
+    flag = jnp.zeros(g.n, jnp.float32).at[ids].set(1.0)
+
+    out_d = np.array(dense(h))
+    out_f = np.array(flagged(h, flag))
+    sel = np.array(flag) > 0
+    np.testing.assert_array_equal(out_f[sel], out_d[sel])
+
+    # downstream reads ONLY flagged rows -> grads must match exactly
+    def loss(f):
+        def inner(x):
+            return jnp.sum(jnp.sin(f(x)[ids]))
+        return inner
+
+    gd = np.array(jax.grad(loss(dense))(h))
+    gf = np.array(jax.grad(loss(lambda x: flagged(x, flag)))(h))
+    np.testing.assert_array_equal(gf, gd)
+    assert np.abs(gd).sum() > 0
+
+
+def test_gcn_propagate_flagged_matches_dense_on_batch_rows():
+    """gcn_propagate(out_flag=...) through the train-step seam: marked rows
+    of the propagated mean equal the dense propagation bit-for-bit."""
+    g = _random_graph(8)
+    dev = spmm.device_graph(g, blocked=True)
+    rng = np.random.default_rng(8)
+    h = jnp.asarray(rng.normal(size=(g.n, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, g.n, size=11), jnp.int32)
+    flag = jnp.zeros(g.n, jnp.float32).at[ids].set(1.0)
+    want = np.array(spmm.gcn_propagate(dev, h, 1, 0.0, rng=None,
+                                       backend="pallas", interpret=True))
+    got = np.array(spmm.gcn_propagate(dev, h, 1, 0.0, rng=None,
+                                      backend="pallas", interpret=True,
+                                      out_flag=flag))
+    np.testing.assert_array_equal(got[np.asarray(ids)], want[np.asarray(ids)])
+
+
 def test_gcn_propagate_pallas_backend_matches_xla():
     from c2dsr_tpu.ops import spmm_pallas  # noqa: F401
     g = _random_graph(6)

@@ -52,7 +52,38 @@ def test_loss_composition(setup):
     assert np.isfinite(float(loss))
 
 
-def test_bf16_compute_path_tolerance(setup):
+def test_batch_sparse_gnn_step_equality(setup):
+    """batch_sparse_gnn=True must give the SAME loss and the SAME gradients
+    as the dense propagation — the masking is exact on every row the step
+    reads (train/step.py flag plumbing + spmm_pallas flagged kernel).
+    d=128 so the Pallas SpMM path (the only one that applies the flag)
+    engages; interpret mode on CPU."""
+    _, spec, train, val, graphs = setup
+    cfg = Config(data="fk", d_latent=128, batch_size=16, len_rec=5,
+                 n_neg_sample=20, kernel_backend="pallas",
+                 pallas_interpret=True, dropout_gnn=0.0, dropout_attn=0.0)
+    params = params_mod.init_params(jax.random.PRNGKey(3), cfg, spec)
+    batch = {k: jnp.asarray(v[:16]) for k, v in train.items()}
+
+    def run(sparse):
+        c = cfg.with_(batch_sparse_gnn=sparse)
+        (loss, aux), grads = jax.value_and_grad(
+            step_mod.loss_fn, has_aux=True)(params, graphs, batch,
+                                            jax.random.PRNGKey(4), c, spec)
+        return float(loss), grads
+
+    from c2dsr_tpu.ops import encoder_pallas
+    encoder_pallas.st_interpret.set(True)
+    try:
+        loss_d, g_dense = run(False)
+        loss_s, g_sparse = run(True)
+    finally:
+        encoder_pallas.st_interpret.set(False)
+    assert loss_s == loss_d
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_dense),
+                            jax.tree_util.tree_leaves(g_sparse)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
+                                      err_msg=str(path))
     """compute_dtype=bfloat16 (tower activations; bf16 SpMM gather on the
     Pallas path) must track the f32 loss closely."""
     cfg, spec, train, val, graphs = setup
