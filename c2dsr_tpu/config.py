@@ -100,6 +100,9 @@ class Config:
     # saved bytes; the switch exists for larger/denser graphs where the
     # batch neighborhood is a smaller fraction of nnz.
     batch_sparse_gnn: bool = False
+    # Train-step dropout PRNG implementation ("auto" | "rbg" |
+    # "threefry2x32"); see resolved_train_prng.
+    train_prng: str = "auto"
     # Off-TPU, run shard-local Pallas kernels through the interpreter instead
     # of falling back to XLA (fake-pod dryrun/tests of the sharded fast path).
     pallas_interpret: bool = False
@@ -164,6 +167,22 @@ class Config:
             return self.compute_dtype
         import jax
         return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+    def resolved_train_prng(self) -> str:
+        """'auto' -> 'rbg' on TPU, 'threefry2x32' elsewhere.
+
+        The TRAIN-STEP dropout stream only (init stays threefry).  rbg is
+        the hardware-friendly counter PRNG: the per-step GNN dropout draws
+        ~25M bernoullis over the full tables (trainer.py:48 semantics) and
+        threefry mask generation costs ~0.8 ms/step at FK scale
+        (bench/step_ablation.py no_dropout delta).  Dropout masks are
+        never parity-matched to the reference (its torch stream is
+        unreproducible anyway), so only the stream changes, not the
+        distribution."""
+        if self.train_prng != "auto":
+            return self.train_prng
+        import jax
+        return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
 
     def resolved_classifier_dtype(self) -> str:
         """'auto' -> bfloat16 on TPU, float32 elsewhere."""

@@ -59,7 +59,11 @@ class Experiment:
         steps_per_epoch = max(len(self.train_iter), 1)
         self.optimizer = optim.make_optimizer(cfg, steps_per_epoch)
         key = jax.random.PRNGKey(cfg.seed)
-        k_init, self.k_step = jax.random.split(key)
+        k_init, _ = jax.random.split(key)
+        # step/dropout stream: hardware-friendly PRNG on TPU (the per-step
+        # full-table GNN dropout is threefry-bound otherwise)
+        self.k_step = jax.random.key(cfg.seed + 1,
+                                     impl=cfg.resolved_train_prng())
         params = params_mod.init_params(k_init, cfg, spec)
         self.state = step_mod.init_state(params, self.optimizer)
 
