@@ -97,7 +97,11 @@ def _validate_ce_rows(h, w, b, pad, tgt, n_real, rows_fn, chunk=64):
     return float(max(errs))
 
 
-def bench_fused_ce(B=512, R=20, d=128, v_p=64512):
+def bench_fused_ce(B=512, R=20, d=128, v_p=65536):
+    # v_p is a 2048-multiple so the benched forward runs the PRODUCTION
+    # block config (bv=2048): with the default vocab_pad_multiple=2048 the
+    # real per-domain classifiers (FK: 30720/36864) all take that path;
+    # 64512 (a 1024-multiple) would measure the bv=1024 variant instead.
     """The rec-loss CE: [B, R, d] rows against a [d, V] classifier, f32 and
     bf16-at-rest W (the TPU default, cfg.classifier_dtype=auto).  Outputs
     are validated against a chunked XLA oracle BEFORE timing (round-3

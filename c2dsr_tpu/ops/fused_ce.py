@@ -216,11 +216,12 @@ def _pick_blocks(n: int, v: int, d: int = 128, fwd: bool = False,
     bv = 1024 if v % 1024 == 0 else 512 if v % 512 == 0 else 256
     if fwd and v % 2048 == 0 and bn * d <= 512 * 128:
         bv = 2048
-    elif fwd and n % 2048 == 0 and d <= 128 and bv == 1024:
-        # taller row blocks amortize the per-block flash bookkeeping;
-        # measured 3.27ms vs 3.60ms at N=10240, V=64512, d=128
-        # (bench/ce_experiments.py); VMEM-safe for d <= 128
-        bn = 2048
+    # NOTE: bn=2048 forward blocks measured ~10% faster in isolation
+    # (bench/ce_experiments.py: 3.27 vs 3.60 ms at N=10240 V=64512) but
+    # were in-step NEUTRAL at FK scale and the Mosaic compile helper
+    # crashes (HTTP 500, reproducibly) at (bn=2048, v=64512) — exactly the
+    # Movie-Book B-domain classifier width — so the tall-block branch was
+    # removed after round-4 measurement.
     if v % bv != 0:
         raise ValueError(f"vocab dim {v} must be a multiple of 256; "
                          "pad W/bias before calling the kernel")

@@ -72,6 +72,22 @@ def test_fused_ce_grads_match_multiblock():
                                    err_msg=name)
 
 
+def test_fused_ce_forward_block_choice_stays_compilable():
+    # regression guard: (bn=2048, v=64512) reproducibly crashed the Mosaic
+    # compile helper (and 64512 is the Movie-Book B classifier width) — the
+    # tall-block branch must stay out; bv=2048 fwd widening stays gated on
+    # the bn*d VMEM bound.
+    assert fused_ce._pick_blocks(10240, 64512, 128, fwd=True) == (512, 1024)
+    assert fused_ce._pick_blocks(10240, 65536, 128, fwd=True) == (512, 2048)
+    # value check through the wide-bv fwd path
+    h, w, b, pad, tgt = _case(9, B=128, R=16, d=64, V=2048, n_real=2000)
+    got, gn = fused_ce.fused_rec_cross_entropy(h, w, b, pad, tgt, 2000,
+                                               interpret=True)
+    want, wn = _xla(h, w, b, pad, tgt, 2000)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+    assert int(gn) == int(wn)
+
+
 def test_fused_ce_grads_match_twokernel_fallback(monkeypatch):
     # Force the dh-too-big-for-VMEM fallback (separate dh / dw kernels).
     monkeypatch.setattr(fused_ce, "_MERGED_DH_BYTES", 0)
