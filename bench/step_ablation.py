@@ -29,8 +29,9 @@ def step_time(cfg, spec, graphs, train, n_steps=40):
     params = params_mod.init_params(jax.random.PRNGKey(0), cfg, spec)
     optimizer = optim.make_optimizer(cfg, steps_per_epoch=16)
     state = step_mod.init_state(params, optimizer)
-    train_step = step_mod.make_train_step(cfg, spec, graphs, optimizer,
-                                          jax.random.PRNGKey(1))
+    train_step = step_mod.make_train_step(
+        cfg, spec, graphs, optimizer,
+        jax.random.key(1, impl=cfg.resolved_train_prng()))
     batches = []
     for i in range(4):
         s = i * BATCH

@@ -52,26 +52,6 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
     pops = pops or strategy.LocalOps(cfg=cfg)
     r_gnn, r_fwd, r_neg = jax.random.split(rng, 3)
 
-    # batch-sparse propagation (cfg.batch_sparse_gnn): mark the table rows
-    # this step will read — the shared tower looks up seq_share plus both
-    # corrupted sequences; the A/B towers (feature-stacked in one pass)
-    # look up seq_share_a / seq_share_b.  Marked-row values and ALL
-    # gradients are exactly the dense computation's; unmarked propagated
-    # rows are never read below.
-    out_flags = None
-    if cfg.batch_sparse_gnn and isinstance(pops, strategy.LocalOps) \
-            and not isinstance(pops, strategy.ShardedOps):
-        def row_flag(*id_arrays):
-            f = jnp.zeros(spec.n_item, jnp.float32)
-            for ids in id_arrays:
-                f = f.at[ids.reshape(-1)].set(1.0)
-            return f
-        out_flags = (row_flag(batch["seq_share"], batch["seq_share_neg_a"],
-                              batch["seq_share_neg_b"]),
-                     row_flag(batch["seq_share_a"], batch["seq_share_b"]))
-    hi = c2dsr.convolve_graph(params, graphs, cfg, spec, r_gnn, pops,
-                              out_flags=out_flags)
-
     B = batch["seq_share"].shape[0]
     # The shared tower runs on three sequences per example (positive +
     # two corrupted, trainer.py:97,105,108) with the SAME weights — stack
@@ -82,6 +62,27 @@ def loss_fn(params, graphs: c2dsr.Graphs, batch: Dict[str, jax.Array],
         [batch["seq_share"], batch["seq_share_neg_a"],
          batch["seq_share_neg_b"]], axis=0)
     pos3 = jnp.concatenate([batch["pos"]] * 3, axis=0)
+
+    # batch-sparse propagation (cfg.batch_sparse_gnn): mark the table rows
+    # this step will read.  INVARIANT: the propagated tables hi are consumed
+    # ONLY by c2dsr.forward_joint's lookups, so the flags are derived from
+    # the SAME arrays passed to forward_joint below (seq_share3 for the
+    # shared table; seq_share_a/_b for the specific table) — any new read of
+    # hi must extend this flag set or it will consume unpropagated rows.
+    # Marked-row values and ALL gradients are exactly the dense
+    # computation's; unmarked propagated rows are never read.
+    out_flags = None
+    if cfg.batch_sparse_gnn and isinstance(pops, strategy.LocalOps) \
+            and not isinstance(pops, strategy.ShardedOps):
+        def row_flag(*id_arrays):
+            f = jnp.zeros(spec.n_item, jnp.float32)
+            for ids in id_arrays:
+                f = f.at[ids.reshape(-1)].set(1.0)
+            return f
+        out_flags = (row_flag(seq_share3),
+                     row_flag(batch["seq_share_a"], batch["seq_share_b"]))
+    hi = c2dsr.convolve_graph(params, graphs, cfg, spec, r_gnn, pops,
+                              out_flags=out_flags)
     h_share3, hx, hy = c2dsr.forward_joint(
         params, hi, seq_share3, pos3, batch["seq_share_a"],
         batch["seq_share_b"], batch["pos_a"], batch["pos_b"], cfg, spec,

@@ -84,6 +84,9 @@ def test_batch_sparse_gnn_step_equality(setup):
                             jax.tree_util.tree_leaves(g_sparse)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
                                       err_msg=str(path))
+
+
+def test_bf16_compute_path_tolerance(setup):
     """compute_dtype=bfloat16 (tower activations; bf16 SpMM gather on the
     Pallas path) must track the f32 loss closely."""
     cfg, spec, train, val, graphs = setup
