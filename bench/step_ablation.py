@@ -8,7 +8,10 @@ the whole step with that component removed — the delta is the component's
 contribution INCLUDING its backward and fusion effects (which per-kernel
 microbenches cannot see).
 
-Experiment harness for tuning, not part of the production path.
+Merges a "step_breakdown" section into BENCH_DETAILS.json (round-5
+verdict #5) so per-component attribution ships as an auditable artifact
+next to the headline number instead of living in commit messages.
+
 Run: python -m bench.step_ablation
 """
 
@@ -112,6 +115,29 @@ def main():
     for tag in ("no_ce", "no_spmm", "xla_encoder", "no_dropout"):
         if tag in results:
             print(f"  {tag:22s} {1e3*(base - results[tag]):+7.2f} ms")
+
+    import json
+    import os
+    details_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAILS.json")
+    details = {}
+    if os.path.exists(details_path):
+        with open(details_path) as f:
+            details = json.load(f)
+    details["step_breakdown"] = {
+        "method": "full FK-scale step re-timed with one component stubbed; "
+                  "delta vs full = that component's cost incl. backward "
+                  "and fusion effects",
+        "device": str(jax.devices()[0]),
+        "step_ms": {k: round(v * 1e3, 2) for k, v in results.items()},
+        "attribution_ms": {
+            tag: round(1e3 * (base - results[tag]), 2)
+            for tag in ("no_ce", "no_spmm", "xla_encoder", "no_dropout")
+            if tag in results},
+    }
+    with open(details_path, "w") as f:
+        json.dump(details, f, indent=1)
+    print(f"merged step_breakdown into {details_path}")
 
 
 if __name__ == "__main__":

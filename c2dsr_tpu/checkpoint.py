@@ -2,47 +2,108 @@
 
 The reference creates a ``checkpoints/`` directory but never saves anything
 (main.py:80-84; no ``torch.save`` in the tree — SURVEY.md section 5).  This
-framework checkpoints for real: Orbax PyTree checkpoints of the full
-TrainState plus experiment bookkeeping (best-validation improvement, epoch,
-early-stop counter), save-on-best plus resume, with sharded-array support
-for free.
+framework checkpoints for real: Orbax checkpoints of the full TrainState
+plus experiment bookkeeping (best-validation improvement, epoch, early-stop
+counter), save-on-best plus resume, with sharded-array support for free.
+
+Saves are ASYNC by default (round-5 verdict #7): ``save`` returns after
+serializing device arrays to host and commits to disk on a background
+thread, so save-on-best overlaps the next training epoch instead of
+blocking it.  A new save (or ``wait``/process exit) joins the previous
+commit first, so at most one write is in flight and the on-disk state is
+always a complete checkpoint.  Sharded arrays are gathered per-shard by
+Orbax — each process writes its addressable shards — which is the pattern
+the multi-million-row sharded-table regime needs.
 
 Layout: ``<path>/state`` holds the TrainState pytree, ``<path>/meta.json``
 the scalar bookkeeping (kept out of Orbax so it is greppable on disk).
+Meta is written after the state commit completes (ordering: a meta.json
+always describes a fully-written state dir).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any, Dict, Optional
 
-import jax
+_LOCK = threading.Lock()
+_CHECKPOINTER = None         # singleton AsyncCheckpointer (owns its thread)
+_PENDING_META: Optional[tuple] = None
 
 
 def _checkpointer():
+    global _CHECKPOINTER
     import orbax.checkpoint as ocp
-    return ocp.PyTreeCheckpointer()
+    with _LOCK:
+        if _CHECKPOINTER is None:
+            _CHECKPOINTER = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+    return _CHECKPOINTER
 
 
-def save(path: str, state: Any, meta: Optional[Dict[str, Any]] = None) -> None:
-    path = os.path.abspath(path)
-    _checkpointer().save(os.path.join(path, "state"), jax.device_get(state),
-                         force=True)
+def _write_meta(path: str, meta: Dict[str, Any]) -> None:
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta or {}, f, indent=1)
+        json.dump(meta, f, indent=1)
+
+
+def wait() -> None:
+    """Join the in-flight async commit (if any) and write its meta."""
+    global _PENDING_META
+    if _CHECKPOINTER is not None:
+        _CHECKPOINTER.wait_until_finished()
+    with _LOCK:
+        pending, _PENDING_META = _PENDING_META, None
+    if pending is not None:
+        _write_meta(*pending)
+
+
+def save(path: str, state: Any, meta: Optional[Dict[str, Any]] = None,
+         block: bool = False) -> None:
+    """Checkpoint ``state`` under ``path``.
+
+    block=False (default): returns once device arrays are snapshotted to
+    host; the disk commit runs on Orbax's background thread and meta.json
+    is written when it completes (on the next ``save``/``wait``).
+    block=True forces a synchronous commit (tests, final save).
+    """
+    global _PENDING_META
+    path = os.path.abspath(path)
+    wait()                       # at most one commit in flight
+    ckpt = _checkpointer()
+    ckpt.save(os.path.join(path, "state"), state, force=True)
+    with _LOCK:
+        _PENDING_META = (path, dict(meta or {}))
+    if block:
+        wait()
 
 
 def restore(path: str, template: Optional[Any] = None) -> Any:
+    """Restore the TrainState.  ``template`` (a concrete or abstract
+    TrainState pytree) drives dtypes/shapes AND shardings: passing a pytree
+    of ``jax.ShapeDtypeStruct`` s with ``.sharding`` set restores each array
+    directly to its mesh placement (multi-chip resume)."""
+    import jax
+    import orbax.checkpoint as ocp
+    wait()                       # never read concurrently with a commit
     path = os.path.abspath(path)
     state_dir = os.path.join(path, "state")
     if template is not None:
-        return _checkpointer().restore(state_dir,
-                                       item=jax.device_get(template))
+        # concrete arrays carry .sharding (restores straight to mesh
+        # placement); ShapeDtypeStructs with .sharding set work the same
+        try:
+            return _checkpointer().restore(
+                state_dir, args=ocp.args.StandardRestore(template))
+        except Exception:
+            # fallback: checkpoints written by the round-4 PyTreeCheckpointer
+            return ocp.PyTreeCheckpointer().restore(
+                state_dir, item=jax.device_get(template))
     return _checkpointer().restore(state_dir)
 
 
 def load_meta(path: str) -> Dict[str, Any]:
+    wait()
     meta_file = os.path.join(os.path.abspath(path), "meta.json")
     if not os.path.isfile(meta_file):
         return {}
@@ -51,4 +112,5 @@ def load_meta(path: str) -> Dict[str, Any]:
 
 
 def exists(path: str) -> bool:
+    wait()
     return os.path.isdir(os.path.join(os.path.abspath(path), "state"))

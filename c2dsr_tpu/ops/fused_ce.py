@@ -214,8 +214,20 @@ def _pick_blocks(n: int, v: int, d: int = 128, fwd: bool = False,
             "(parallel/sharded_loss.py).")
     bn = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
     bv = 1024 if v % 1024 == 0 else 512 if v % 512 == 0 else 256
-    if fwd and v % 2048 == 0 and bn * d <= 512 * 128:
-        bv = 2048
+    if fwd and bn * d <= 512 * 128:
+        # widest stripe that divides v and keeps the [bn, bv] f32 logit
+        # temporary within VMEM (bn=512: 3584 -> 7.3 MB, measured safe).
+        # Round-5 sweep at the PRODUCTION vocab widths (/tmp lore ->
+        # bench/ce_experiments.py): FK-B 35840: bv 3584 is 13% faster than
+        # 1024; MB-A 36864: bv 2048 is 12% faster; MB-B 64512: bv 3584 is
+        # 14% faster.  The round-4 tuning benched V=65536 (bv=2048 valid)
+        # but in-step vocabs pad to 1024 multiples where 2048 rarely
+        # divides — see fused_rec_ce_rows' pad rule, which now bumps the
+        # padding when that unlocks a wider stripe.
+        for cand in (3584, 2048):
+            if v % cand == 0 and bn * cand <= 512 * 3584:
+                bv = cand
+                break
     # NOTE: bn=2048 forward blocks measured ~10% faster in isolation
     # (bench/ce_experiments.py: 3.27 vs 3.60 ms at N=10240 V=64512) but
     # were in-step NEUTRAL at FK scale and the Mosaic compile helper
@@ -395,8 +407,16 @@ def fused_rec_ce_rows(h, w, b, pad_logit, targets, n_real: int,
     B, R, d = h.shape
     n = B * R
     # pad vocab to a 1024 multiple (kernel block constraint); padded columns
-    # get zero weights and a -1e9 bias, vanishing from the softmax
+    # get zero weights and a -1e9 bias, vanishing from the softmax.  When a
+    # slightly larger 2048 multiple (<= 3.5% extra columns) unlocks a wider
+    # forward stripe in _pick_blocks (measured 5-14% faster at FK/MB
+    # production widths), pad to that instead — unless the 1024 multiple
+    # already divides by a wide stripe (e.g. FK-B 35840 = 10 x 3584).
     v = -(-w.shape[1] // 1024) * 1024
+    if v % 3584 and v % 2048:
+        v2048 = -(-w.shape[1] // 2048) * 2048
+        if v2048 <= v * 1.035:
+            v = v2048
     if v != w.shape[1]:
         w = jnp.concatenate(
             [w, jnp.zeros((d, v - w.shape[1]), w.dtype)], axis=1)

@@ -247,7 +247,7 @@ def make_blocked_spmm_flagged(fwd: BlockedCoo, bwd: BlockedCoo,
                 are masked; the produced dL/dh stays DENSE and exact.
 
     Every value the step actually consumes is bit-identical to the dense
-    path (tests/test_spmm_pallas.py)."""
+    path (tests/test_ops.py spmm cases; tests/test_train.py::test_batch_sparse_gnn_step_equality)."""
 
     @jax.custom_vjp
     def f(h, flag):

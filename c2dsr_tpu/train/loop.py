@@ -216,6 +216,8 @@ class Experiment:
                 if es_counter >= cfg.es_patience:
                     break
 
+        if self.ckpt_path:
+            ckpt_mod.wait()      # join the last async save-on-best commit
         if self.noter:
             self.noter.log_final_result(epoch, imp_val_best, res_test_imp)
         return {"epoch": epoch, "imp_val_best": imp_val_best,

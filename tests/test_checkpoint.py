@@ -99,3 +99,59 @@ def test_run_saves_on_best_and_resumes_epoch_count(setup, tmp_path):
     out2 = exp2.run()
     assert out2["epoch"] == 2
     assert out2["imp_val_best"] >= out1["imp_val_best"]
+
+
+def test_async_save_overlaps_then_commits(setup, tmp_path):
+    """save() must return before the disk commit (async, round-5 verdict
+    item 7) and wait() must make the full checkpoint readable."""
+    import time
+
+    cfg, spec, train, val, graphs = setup
+    path = str(tmp_path / "ckpt_async")
+    exp = Experiment(cfg, spec, graphs, train, val, val, ckpt_path=path)
+    exp.run_train_epoch()
+
+    t0 = time.perf_counter()
+    ckpt_mod.save(path, exp.state, meta={"epoch": 1})
+    t_save = time.perf_counter() - t0
+    ckpt_mod.wait()
+    # meta.json is written by wait() AFTER the state commit finishes
+    assert ckpt_mod.load_meta(path)["epoch"] == 1
+    restored = ckpt_mod.restore(path, template=exp.state)
+    _tree_equal(exp.state, restored)
+    # the async dispatch itself must be quick (the commit runs on the
+    # background thread); generous bound to stay robust on shared CI
+    assert t_save < 5.0, t_save
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs a fake pod")
+def test_sharded_state_roundtrip(setup, tmp_path):
+    """A TrainState with mesh-sharded tables must round-trip through the
+    async checkpointer and restore straight to its mesh placement (the
+    sharded 10M-row regime's resume path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from c2dsr_tpu.parallel import mesh as mesh_mod
+
+    cfg, spec, train, val, graphs = setup
+    mesh = mesh_mod.make_mesh(n_data=1, n_model=4)
+    exp = Experiment(cfg, spec, graphs, train, val, val)
+    exp.run_train_epoch()
+
+    sh = NamedSharding(mesh, P("model", None))
+    state = exp.state._replace(params=jax.tree.map(
+        lambda v: (jax.device_put(v, sh)
+                   if v.ndim == 2 and v.shape[0] % 4 == 0 else v),
+        exp.state.params))
+    n_sharded = sum(1 for v in jax.tree.leaves(state.params)
+                    if getattr(v.sharding, "spec", None) == P("model", None))
+    assert n_sharded > 0
+
+    path = str(tmp_path / "ckpt_sharded")
+    ckpt_mod.save(path, state, meta={"epoch": 1}, block=True)
+    restored = ckpt_mod.restore(path, template=state)
+    _tree_equal(state, restored)
+    for (pa, va), vr in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree.leaves(restored.params)):
+        assert vr.sharding == va.sharding, jax.tree_util.keystr(pa)

@@ -75,10 +75,14 @@ def test_fused_ce_grads_match_multiblock():
 def test_fused_ce_forward_block_choice_stays_compilable():
     # regression guard: (bn=2048, v=64512) reproducibly crashed the Mosaic
     # compile helper (and 64512 is the Movie-Book B classifier width) — the
-    # tall-block branch must stay out; bv=2048 fwd widening stays gated on
-    # the bn*d VMEM bound.
-    assert fused_ce._pick_blocks(10240, 64512, 128, fwd=True) == (512, 1024)
+    # tall-block branch must stay out; WIDE stripes are fine (bv=3584 at
+    # v=64512 ran validated on the chip in the round-5 sweep, 14% faster
+    # than 1024) and stay gated on the bn*d VMEM bound.
+    assert fused_ce._pick_blocks(10240, 64512, 128, fwd=True) == (512, 3584)
     assert fused_ce._pick_blocks(10240, 65536, 128, fwd=True) == (512, 2048)
+    assert fused_ce._pick_blocks(10240, 29696, 128, fwd=True) == (512, 1024)
+    # large-d configs keep the narrow stripe (VMEM bound on bn*d)
+    assert fused_ce._pick_blocks(1024, 64512, 1024, fwd=True) == (512, 1024)
     # value check through the wide-bv fwd path
     h, w, b, pad, tgt = _case(9, B=128, R=16, d=64, V=2048, n_real=2000)
     got, gn = fused_ce.fused_rec_cross_entropy(h, w, b, pad, tgt, 2000,

@@ -29,6 +29,9 @@ def user_inter_ids(path):
 
 
 def leak_rate(train_path: str, eval_path: str) -> tuple:
+    """Strict-future leakage: eval lines whose user has a STRICTLY newer
+    train interaction (the reference script's semantics,
+    data/raw/leak_stats.py:55-119)."""
     max_train = defaultdict(lambda: -1)
     for user, inter in user_inter_ids(train_path):
         max_train[user] = max(max_train[user], inter)
@@ -36,6 +39,23 @@ def leak_rate(train_path: str, eval_path: str) -> tuple:
     for user, inter in user_inter_ids(eval_path):
         n += 1
         if max_train[user] > inter:
+            leaked += 1
+    return n, leaked / max(n, 1)
+
+
+def leak_rate_inclusive(train_path: str, eval_path: str) -> tuple:
+    """Same-or-newer leakage: also counts eval lines present VERBATIM in
+    the train file (same user, same interaction id) — training on the
+    evaluated step itself.  The strict check returns 0.0 for FK
+    val.txt-vs-test_new while 975/8406 lines are verbatim copies (round-5
+    finding); any split-folding decision must gate on THIS rate."""
+    max_train = defaultdict(lambda: -1)
+    for user, inter in user_inter_ids(train_path):
+        max_train[user] = max(max_train[user], inter)
+    n = leaked = 0
+    for user, inter in user_inter_ids(eval_path):
+        n += 1
+        if max_train[user] >= inter:
             leaked += 1
     return n, leaked / max(n, 1)
 

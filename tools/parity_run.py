@@ -221,24 +221,194 @@ def run(n_users=576, n_val=192, na=300, nb=400, d_latent=64, batch_size=64,
     return report
 
 
+def run_stochastic(n_seeds=5, n_users=576, n_val=192, na=300, nb=400,
+                   d_latent=64, batch_size=64, n_epochs=4, lr_step=2,
+                   n_neg=99, dropout=0.2):
+    """Dropout-ON distribution parity (round-5 verdict #6).
+
+    The deterministic sections prove trajectory parity with dropout off;
+    this proves the PRODUCTION stochastic dynamics (dropout 0.2, the
+    reference's training default) land inside the reference's own
+    seed-to-seed spread.  For each of ``n_seeds`` seeds: build the
+    reference trainer (torch init + torch dropout stream), snapshot its
+    INIT into our params (bit-identical starting point per pair), then
+    train both sides on the same fixed batch order — the only difference
+    within a pair is each side's dropout realization (torch RNG vs our
+    rbg/threefry streams).  Reports per-epoch loss spread (min/max/mean
+    across seeds per side) and final sampled metrics, with the containment
+    checks recorded (our mean trajectory inside the reference's seed
+    envelope widened by its own spread)."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "default")
+    import jax.numpy as jnp
+
+    from c2dsr_tpu import metrics
+    from c2dsr_tpu.config import Config, DataSpec
+    from c2dsr_tpu.data import raw as raw_mod
+    from c2dsr_tpu.data import synthetic
+    from c2dsr_tpu.evaluate import ranker
+    from c2dsr_tpu.graph import build as graph_build
+    from c2dsr_tpu.model import c2dsr
+    from c2dsr_tpu.ops import spmm
+    from c2dsr_tpu.train import optim, step as step_mod
+    from c2dsr_tpu.utils import torch_port
+
+    import torch
+    from torch.utils.data import DataLoader
+
+    spec = DataSpec(n_item_a=na, n_item_b=nb, len_max=15)
+    tmp = tempfile.mkdtemp(prefix="c2dsr_parity_sto_")
+    raw_dir = os.path.join(tmp, "raw")
+    os.makedirs(os.path.join(tmp, "proc"), exist_ok=True)
+    train_seqs = synthetic.generate_sequences(spec, n_users, seed=11)
+    val_seqs = synthetic.generate_sequences(spec, n_val, seed=12)
+    synthetic.write_reference_tsv(train_seqs,
+                                  os.path.join(raw_dir, "train_new.txt"))
+    synthetic.write_reference_tsv(val_seqs,
+                                  os.path.join(raw_dir, "val_new.txt"))
+    synthetic.write_reference_tsv(val_seqs,
+                                  os.path.join(raw_dir, "test_new.txt"))
+    synthetic.write_item_lists(spec, raw_dir)
+
+    cfg = Config(data="fk", d_latent=d_latent, dropout_gnn=dropout,
+                 dropout_attn=dropout, lr_step=lr_step,
+                 batch_size=batch_size, batch_size_eval=256,
+                 n_neg_sample=n_neg, eval_mode="sampled",
+                 kernel_backend="auto", compute_dtype="auto",
+                 bug_inverted_padding_mask=True, bug_epoch_grad_accum=True)
+    seqs = raw_mod.parse_interactions(os.path.join(raw_dir, "train_new.txt"))
+    g_share, g_spec = graph_build.build_graphs(seqs, spec)
+    graphs = c2dsr.Graphs(share=spmm.device_graph(g_share),
+                          specific=spmm.device_graph(g_spec))
+
+    seeds = [3407 + 1000 * i for i in range(n_seeds)]
+    ref_losses = []          # [seed][epoch] total loss
+    our_losses = []
+    ref_final = []           # final-epoch sampled improve
+    our_final = []
+
+    for s in seeds:
+        args = torch_port.reference_args(
+            raw_dir, os.path.join(tmp, "proc"), na, nb,
+            d_latent=d_latent, batch_size=batch_size, batch_size_eval=256,
+            n_neg_sample=n_neg, dropout_gnn=dropout, dropout_attn=dropout,
+            lr_step=lr_step, seed=s)
+        trainer = torch_port.build_reference_trainer(args)
+        fixed_loader = DataLoader(trainer.trainloader.dataset,
+                                  batch_size=batch_size, shuffle=False,
+                                  num_workers=0)
+        sched = torch.optim.lr_scheduler.StepLR(
+            trainer.optimizer, step_size=lr_step, gamma=args.lr_gamma)
+        params0 = torch_port.params_from_torch(trainer.model, cfg, spec)
+        train_arr = torch_port.train_arrays_from_dataset(
+            trainer.trainloader.dataset)
+        val_arr = torch_port.eval_arrays_from_dataset(
+            trainer.valloader.dataset)
+        n_tr = train_arr["seq_share"].shape[0]
+        batches = []
+        for st in range(0, n_tr, batch_size):
+            e = min(st + batch_size, n_tr)
+            batches.append({k: jnp.asarray(v[st:e])
+                            for k, v in train_arr.items()})
+
+        # reference trajectory for this seed
+        rl = []
+        for _ in range(n_epochs):
+            rl.append(float(_ref_epoch_losses(trainer, fixed_loader,
+                                              sched)[0]))
+        ra, rb = _ref_eval_ranks(trainer)
+        ref_losses.append(rl)
+        ref_final.append(float(metrics.cal_score(ra, rb, cfg.benchmark)[0]))
+
+        # our trajectory from the SAME init, our dropout stream
+        n_batches = -(-n_tr // batch_size)
+        optimizer = optim.make_optimizer(cfg, steps_per_epoch=n_batches)
+        state = step_mod.init_state(params0, optimizer)
+        train_step = step_mod.make_train_step(
+            cfg, spec, graphs, optimizer,
+            jax.random.key(s, impl=cfg.resolved_train_prng()))
+        convolve_eval, rank_step = ranker.make_eval_fns(cfg, spec, graphs)
+        ol = []
+        for _ in range(n_epochs):
+            state = state._replace(
+                opt_state=optim.reset_grad_accum(state.opt_state))
+            tot, n = 0.0, 0
+            for b in batches:
+                state, aux = train_step(state, b)
+                nb_ = int(b["seq_share"].shape[0])
+                tot += float(aux["loss"]) * nb_
+                n += nb_
+            ol.append(tot / n)
+        hi = convolve_eval(state.params)
+        oa, ob = ranker.evaluate_split(state.params, hi, val_arr, rank_step,
+                                       cfg, mode="sampled")
+        our_losses.append(ol)
+        our_final.append(float(metrics.cal_score(oa, ob, cfg.benchmark)[0]))
+        print(f"seed {s}: ref loss {['%.4f' % x for x in rl]} "
+              f"final {ref_final[-1]:.4f} | ours "
+              f"{['%.4f' % x for x in ol]} final {our_final[-1]:.4f}",
+              flush=True)
+
+    ref_arr = np.array(ref_losses)       # [seeds, epochs]
+    our_arr = np.array(our_losses)
+    spread = ref_arr.max(0) - ref_arr.min(0)
+    # containment: our per-epoch mean inside the reference envelope widened
+    # by half its own spread (the envelope of N samples underestimates the
+    # population range)
+    lo = ref_arr.min(0) - 0.5 * spread
+    hi_ = ref_arr.max(0) + 0.5 * spread
+    mean_in = bool(np.all((our_arr.mean(0) >= lo)
+                          & (our_arr.mean(0) <= hi_)))
+    fin_lo = min(ref_final) - 0.5 * (max(ref_final) - min(ref_final))
+    fin_hi = max(ref_final) + 0.5 * (max(ref_final) - min(ref_final))
+    fin_in = bool(fin_lo <= float(np.mean(our_final)) <= fin_hi)
+
+    return {
+        "config": {"n_seeds": n_seeds, "seeds": seeds, "dropout": dropout,
+                   "n_users": n_users, "d_latent": d_latent,
+                   "n_epochs": n_epochs, "backend": "auto (production)",
+                   "pairing": "per-seed identical torch init + data; only "
+                              "the dropout streams differ within a pair"},
+        "ref_loss_by_seed": [[round(x, 5) for x in r] for r in ref_losses],
+        "our_loss_by_seed": [[round(x, 5) for x in r] for r in our_losses],
+        "ref_loss_mean": [round(x, 5) for x in ref_arr.mean(0)],
+        "our_loss_mean": [round(x, 5) for x in our_arr.mean(0)],
+        "ref_loss_spread": [round(x, 5) for x in spread],
+        "ref_final_improve_by_seed": [round(x, 5) for x in ref_final],
+        "our_final_improve_by_seed": [round(x, 5) for x in our_final],
+        "our_mean_loss_inside_ref_envelope": mean_in,
+        "our_mean_final_improve_inside_ref_envelope": fin_in,
+    }
+
+
 def main():
     fast = "--fast" in sys.argv
+    stochastic_only = "--stochastic" in sys.argv
     n_epochs = 2 if fast else 4
     for i, a in enumerate(sys.argv):
         if a == "--epochs":
             n_epochs = int(sys.argv[i + 1])
 
-    out = {"oracle": "unmodified PyTorch reference at /root/reference, "
-                     "f32 CPU, driven by this harness"}
-    out["xla_f32"] = run(n_epochs=n_epochs)
-    if not fast:
-        # production TPU path (Pallas kernels; bf16 MXU matmuls inside the
-        # fused CE) against the same oracle — quantifies fast-path drift
-        out["default_fast_path"] = run(n_epochs=n_epochs, backend="auto",
-                                       compute_dtype="auto",
-                                       highest_precision=False)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PARITY_RUN.json")
+    if stochastic_only and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    else:
+        out = {"oracle": "unmodified PyTorch reference at /root/reference, "
+                         "f32 CPU, driven by this harness"}
+        out["xla_f32"] = run(n_epochs=n_epochs)
+        if not fast:
+            # production TPU path (Pallas kernels; bf16 MXU matmuls inside
+            # the fused CE) against the same oracle — quantifies fast-path
+            # drift
+            out["default_fast_path"] = run(n_epochs=n_epochs,
+                                           backend="auto",
+                                           compute_dtype="auto",
+                                           highest_precision=False)
+    if not fast:
+        out["stochastic_dropout_on"] = run_stochastic(n_epochs=n_epochs)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

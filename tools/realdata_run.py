@@ -55,9 +55,15 @@ DATA_DIRS = {"fk": "Food-Kitchen", "mb": "Movie-Book",
              "ee": "Entertainment-Education"}
 
 
+def _line_users(path):
+    with open(path, "r", encoding="utf-8") as f:
+        return [int(line.split("\t", 1)[0]) for line in f]
+
+
 def run(data_code="fk", raw_dir=None, n_epochs=60, es_patience=10,
         out_path=None, train_fraction=1.0, extra_train_files=(),
-        overrides=None, write=True, quiet=False):
+        exclude_eval_users_from_extra=True, overrides=None, write=True,
+        quiet=False):
     from c2dsr_tpu import metrics
     from c2dsr_tpu.config import Config
     from c2dsr_tpu.data import preprocess, raw
@@ -74,9 +80,23 @@ def run(data_code="fk", raw_dir=None, n_epochs=60, es_patience=10,
     spec = raw.load_data_spec(raw_dir, cfg.resolved_len_max())
 
     train_seqs = raw.parse_interactions(os.path.join(raw_dir, "val_new.txt"))
+    n_extra_dropped = 0
+    eval_users = (set(_line_users(os.path.join(raw_dir, "test_new.txt")))
+                  if exclude_eval_users_from_extra else set())
     for fname in extra_train_files:
-        train_seqs = train_seqs + raw.parse_interactions(
-            os.path.join(raw_dir, fname))
+        fpath = os.path.join(raw_dir, fname)
+        extra = raw.parse_interactions(fpath)
+        if eval_users:
+            # old-protocol splits (FK val.txt) share users with test_new —
+            # 975/8406 test lines appear VERBATIM there (same user, same
+            # interaction id), so folding unfiltered data trains on the
+            # evaluated steps themselves.  Drop every line whose USER
+            # appears anywhere in the eval file.
+            users = _line_users(fpath)
+            kept = [s for s, u in zip(extra, users) if u not in eval_users]
+            n_extra_dropped += len(extra) - len(kept)
+            extra = kept
+        train_seqs = train_seqs + extra
     if train_fraction < 1.0:
         perm = np.random.RandomState(20260821).permutation(len(train_seqs))
         keep = perm[:max(1, int(round(train_fraction * len(train_seqs))))]
@@ -100,6 +120,7 @@ def run(data_code="fk", raw_dir=None, n_epochs=60, es_patience=10,
         "corpus": {
             "train_file": "val_new.txt", "eval_file": "test_new.txt",
             "extra_train_files": list(extra_train_files),
+            "extra_lines_dropped_shared_eval_user": n_extra_dropped,
             "train_fraction": train_fraction,
             "n_train_users": len(train_seqs),
             "n_train_examples": int(train["seq_share"].shape[0]),
