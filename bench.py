@@ -91,6 +91,41 @@ def main(argv=None):
         print(json.dumps({"metric": "scaled_bench", "value": 1,
                           "unit": "done", "vs_baseline": None}))
         return 0
+    if "--batches" in argv:
+        # batch-size scaling: the headline protocol pins batch 512 (the
+        # reference's), but production serving/training can feed larger
+        # batches — record the throughput headroom per batch size
+        global BATCH
+        cfg0 = Config(data="fk")
+        spec = fk_graph.spec()
+        train = fk_graph.load_train()
+        g = fk_graph.load_or_build()
+        n = spec.n_item
+        graphs = c2dsr.Graphs(
+            share=spmm.device_graph(
+                CooGraph(g["s_rows"], g["s_cols"], g["s_vals"], n)),
+            specific=spmm.device_graph(
+                CooGraph(g["p_rows"], g["p_cols"], g["p_vals"], n)))
+        rows = []
+        orig_batch = BATCH
+        for b in (256, 512, 1024, 2048, 4096):
+            if b > train["seq_share"].shape[0] // 4:
+                break
+            BATCH = b
+            dt, _ = _train_step_time(cfg0.with_(batch_size=b), spec,
+                                     graphs, train,
+                                     n_steps=max(8, 8192 // b))
+            rows.append({"batch": b, "step_ms": round(dt * 1e3, 2),
+                         "examples_per_s": round(b / dt, 1)})
+            print(json.dumps(rows[-1]), flush=True)
+        BATCH = orig_batch
+        _merge_details({"batch_scaling": {
+            "note": "same FK-scale config as the headline; only batch size "
+                    "varies (headline protocol pins 512 = the reference's)",
+            "device": str(jax.devices()[0]), "results": rows}})
+        print(json.dumps({"metric": "batch_scaling", "value": 1,
+                          "unit": "done", "vs_baseline": None}))
+        return 0
 
     cfg = Config(data="fk", batch_size=BATCH)
     spec = fk_graph.spec()
