@@ -32,13 +32,8 @@ DETAILS = os.path.join(ROOT, "BENCH_DETAILS.json")
 
 
 def _merge_details(update: dict) -> None:
-    details = {}
-    if os.path.exists(DETAILS):
-        with open(DETAILS) as f:
-            details = json.load(f)
-    details.update(update)
-    with open(DETAILS, "w") as f:
-        json.dump(details, f, indent=1)
+    from bench.details import merge
+    merge(update)
 
 
 def _train_step_time(cfg, spec, graphs, train, n_steps=30):

@@ -171,15 +171,8 @@ def run() -> dict:
           f"({(len(ra) * N_A + len(rb) * N_B) / dt / 1e6:.0f}M items/s)",
           flush=True)
 
-    details_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_DETAILS.json")
-    details = {}
-    if os.path.exists(details_path):
-        with open(details_path) as f:
-            details = json.load(f)
-    details["scaled_e2e"] = report
-    with open(details_path, "w") as f:
-        json.dump(details, f, indent=1)
+    from bench.details import merge
+    details_path = merge({"scaled_e2e": report})
     print(f"merged scaled_e2e into {details_path}", flush=True)
     return report
 

@@ -116,15 +116,8 @@ def main():
         if tag in results:
             print(f"  {tag:22s} {1e3*(base - results[tag]):+7.2f} ms")
 
-    import json
-    import os
-    details_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_DETAILS.json")
-    details = {}
-    if os.path.exists(details_path):
-        with open(details_path) as f:
-            details = json.load(f)
-    details["step_breakdown"] = {
+    from bench.details import merge
+    breakdown = {
         "method": "full FK-scale step re-timed with one component stubbed; "
                   "delta vs full = that component's cost incl. backward "
                   "and fusion effects",
@@ -135,8 +128,7 @@ def main():
             for tag in ("no_ce", "no_spmm", "xla_encoder", "no_dropout")
             if tag in results},
     }
-    with open(details_path, "w") as f:
-        json.dump(details, f, indent=1)
+    details_path = merge({"step_breakdown": breakdown})
     print(f"merged step_breakdown into {details_path}")
 
 

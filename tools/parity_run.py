@@ -407,8 +407,10 @@ def main():
                                            backend="auto",
                                            compute_dtype="auto",
                                            highest_precision=False)
-    if not fast:
-        out["stochastic_dropout_on"] = run_stochastic(n_epochs=n_epochs)
+    if stochastic_only or not fast:
+        # --fast shrinks the stochastic section instead of skipping it
+        out["stochastic_dropout_on"] = run_stochastic(
+            n_epochs=n_epochs, n_seeds=2 if fast else 5)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

@@ -82,7 +82,8 @@ def run(data_code="fk", raw_dir=None, n_epochs=60, es_patience=10,
     train_seqs = raw.parse_interactions(os.path.join(raw_dir, "val_new.txt"))
     n_extra_dropped = 0
     eval_users = (set(_line_users(os.path.join(raw_dir, "test_new.txt")))
-                  if exclude_eval_users_from_extra else set())
+                  if extra_train_files and exclude_eval_users_from_extra
+                  else set())
     for fname in extra_train_files:
         fpath = os.path.join(raw_dir, fname)
         extra = raw.parse_interactions(fpath)
