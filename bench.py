@@ -15,6 +15,9 @@ Prints ONE JSON line:
 Extra modes (each MERGES its section into BENCH_DETAILS.json):
   --kernels   per-kernel roofline microbench (bench/kernel_bench.py)
   --scaled    10M-item scaled-synthetic per-op bench (bench/scaled_bench.py)
+  --batches   throughput vs batch size (headline protocol pins 512)
+Related: python -m bench.scaled_e2e (composed 1M-item step),
+python -m bench.step_ablation (per-component step attribution).
 """
 
 from __future__ import annotations
