@@ -565,6 +565,12 @@ def encode_towers_fused(segments, *, idx_pad: int, n_head: int,
         assert len(pr["layers"]) == n_layers
 
     lp = _round_up(l, 16)
+    # the backward kernel stashes ~15 per-layer [bb, lp, d] activation
+    # tensors in VMEM scratch; the block size is budgeted at lp=16 (FK/MB),
+    # so scale it down with longer sequences or the stack overflows the
+    # 16 MB scoped-vmem limit (observed: lp=32 EE geometry at bb=64 needs
+    # 17.47 MB -> compile OOM)
+    block_b = max(8, block_b * 16 // lp)
     bs = [int(s[0].shape[0]) for s in segments]
     bb = min(block_b, 1 << (min(bs) - 1).bit_length())
     xs, seqs, starts, bps = [], [], [], []

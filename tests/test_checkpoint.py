@@ -124,6 +124,55 @@ def test_async_save_overlaps_then_commits(setup, tmp_path):
     assert t_save < 5.0, t_save
 
 
+def test_crash_window_keeps_previous_checkpoint(setup, tmp_path):
+    """Durability contract: dispatching save k must never touch the newest
+    COMPLETE checkpoint — if the process dies during the async commit, the
+    previous (state, meta) pair survives and restore still works."""
+    import os
+
+    cfg, spec, train, val, graphs = setup
+    path = str(tmp_path / "ckpt_crash")
+    exp = Experiment(cfg, spec, graphs, train, val, val, ckpt_path=path)
+    exp.run_train_epoch()
+
+    ckpt_mod.save(path, exp.state, meta={"epoch": 1}, block=True)
+    meta1 = ckpt_mod.load_meta(path)
+    dir1 = os.path.join(path, meta1["state_dir"])
+    exp.run_train_epoch()
+    ckpt_mod.save(path, exp.state, meta={"epoch": 2})   # async, in flight
+    # IMMEDIATELY after dispatch (commit may still be running): the
+    # checkpoint meta points at must be intact, and meta unchanged
+    assert os.path.isdir(dir1)
+    assert ckpt_mod.load_meta(path, _wait=False)["epoch"] == 1
+    restored = ckpt_mod.restore(path, template=exp.state)   # joins commit
+    # after the join the NEW save is the visible one
+    assert ckpt_mod.load_meta(path)["epoch"] == 2
+    _tree_equal(exp.state, restored)
+
+
+def test_legacy_round4_layout_restores(setup, tmp_path):
+    """Checkpoints written by the round-4 PyTreeCheckpointer (single
+    'state' dir, no state_dir in meta) still restore."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    cfg, spec, train, val, graphs = setup
+    path = str(tmp_path / "ckpt_legacy")
+    exp = Experiment(cfg, spec, graphs, train, val, val)
+    exp.run_train_epoch()
+    ocp.PyTreeCheckpointer().save(os.path.join(path, "state"),
+                                  jax.device_get(exp.state))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"epoch": 7, "imp_val_best": 0.5, "es_counter": 0,
+                   "res_test": [0.1] * 13}, f)
+    assert ckpt_mod.exists(path)
+    restored = ckpt_mod.restore(path, template=exp.state)
+    _tree_equal(exp.state, restored)
+    assert ckpt_mod.load_meta(path)["epoch"] == 7
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs a fake pod")
 def test_sharded_state_roundtrip(setup, tmp_path):
     """A TrainState with mesh-sharded tables must round-trip through the
