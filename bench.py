@@ -31,7 +31,6 @@ import numpy as np
 
 BATCH = 512
 ROOT = os.path.dirname(os.path.abspath(__file__))
-DETAILS = os.path.join(ROOT, "BENCH_DETAILS.json")
 
 
 def _merge_details(update: dict) -> None:

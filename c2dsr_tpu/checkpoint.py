@@ -57,10 +57,17 @@ def _checkpointer():
 
 
 def _write_meta(path: str, meta: Dict[str, Any]) -> None:
+    os.makedirs(path, exist_ok=True)   # atexit may fire after dir cleanup
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
     os.replace(tmp, os.path.join(path, "meta.json"))
+    if meta.get("state_dir"):
+        # a modern checkpoint is now current: a leftover round-4 'state'
+        # dir is strictly older — drop it so it cannot become a silent
+        # stale fallback if meta.json is ever lost
+        import shutil
+        shutil.rmtree(os.path.join(path, "state"), ignore_errors=True)
 
 
 def wait() -> None:

@@ -569,8 +569,10 @@ def encode_towers_fused(segments, *, idx_pad: int, n_head: int,
     # tensors in VMEM scratch; the block size is budgeted at lp=16 (FK/MB),
     # so scale it down with longer sequences or the stack overflows the
     # 16 MB scoped-vmem limit (observed: lp=32 EE geometry at bb=64 needs
-    # 17.47 MB -> compile OOM)
+    # 17.47 MB -> compile OOM).  Floor to a power of two — the kernel's
+    # block/reshape geometry has only ever been exercised at 2^k blocks.
     block_b = max(8, block_b * 16 // lp)
+    block_b = 1 << (block_b.bit_length() - 1)
     bs = [int(s[0].shape[0]) for s in segments]
     bb = min(block_b, 1 << (min(bs) - 1).bit_length())
     xs, seqs, starts, bps = [], [], [], []

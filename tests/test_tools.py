@@ -44,12 +44,15 @@ def test_realdata_extra_split_user_exclusion(tmp_path):
     _write(str(raw / "test_new.txt"), [(1, 3, [10]), (2, 7, [12])])
     _write(str(raw / "extra.txt"),
            [(1, 5, [10, 11]), (5, 1, [13]), (2, 7, [12]), (6, 2, [14])])
-    users = realdata_run._line_users(str(raw / "extra.txt"))
-    assert users == [1, 5, 2, 6]
+    assert realdata_run._line_users(str(raw / "extra.txt")) == [1, 5, 2, 6]
     eval_users = set(realdata_run._line_users(str(raw / "test_new.txt")))
-    from c2dsr_tpu.data import raw as raw_mod
-    extra = raw_mod.parse_interactions(str(raw / "extra.txt"))
-    kept = [s for s, u in zip(extra, users) if u not in eval_users]
+    # the production filter (the one run() folds extra splits through)
+    kept, dropped = realdata_run.load_extra_split(str(raw / "extra.txt"),
+                                                  eval_users)
     # users 1 and 2 appear in the eval file -> their lines are dropped
-    assert len(kept) == 2
+    assert dropped == 2
     assert kept == [[13], [14]]
+    # no eval users -> everything kept, nothing dropped
+    all_kept, d0 = realdata_run.load_extra_split(str(raw / "extra.txt"),
+                                                 set())
+    assert d0 == 0 and len(all_kept) == 4

@@ -408,7 +408,8 @@ def main():
                                            compute_dtype="auto",
                                            highest_precision=False)
     if stochastic_only or not fast:
-        # --fast shrinks the stochastic section instead of skipping it
+        # plain --fast (quick smoke) skips this section; --stochastic
+        # always runs it, and --stochastic --fast shrinks it to 2 seeds
         out["stochastic_dropout_on"] = run_stochastic(
             n_epochs=n_epochs, n_seeds=2 if fast else 5)
     with open(path, "w") as f:

@@ -60,6 +60,21 @@ def _line_users(path):
         return [int(line.split("\t", 1)[0]) for line in f]
 
 
+def load_extra_split(fpath, eval_users):
+    """Parse an extra training split, dropping every line whose USER
+    appears in ``eval_users``.  Old-protocol splits (FK val.txt) share
+    users with test_new — 975/8406 test lines appear VERBATIM there (same
+    user, same interaction id), so folding unfiltered data trains on the
+    evaluated steps themselves.  Returns (kept_sequences, n_dropped)."""
+    from c2dsr_tpu.data import raw
+    extra = raw.parse_interactions(fpath)
+    if not eval_users:
+        return extra, 0
+    users = _line_users(fpath)
+    kept = [s for s, u in zip(extra, users) if u not in eval_users]
+    return kept, len(extra) - len(kept)
+
+
 def run(data_code="fk", raw_dir=None, n_epochs=60, es_patience=10,
         out_path=None, train_fraction=1.0, extra_train_files=(),
         exclude_eval_users_from_extra=True, overrides=None, write=True,
@@ -85,18 +100,9 @@ def run(data_code="fk", raw_dir=None, n_epochs=60, es_patience=10,
                   if extra_train_files and exclude_eval_users_from_extra
                   else set())
     for fname in extra_train_files:
-        fpath = os.path.join(raw_dir, fname)
-        extra = raw.parse_interactions(fpath)
-        if eval_users:
-            # old-protocol splits (FK val.txt) share users with test_new —
-            # 975/8406 test lines appear VERBATIM there (same user, same
-            # interaction id), so folding unfiltered data trains on the
-            # evaluated steps themselves.  Drop every line whose USER
-            # appears anywhere in the eval file.
-            users = _line_users(fpath)
-            kept = [s for s, u in zip(extra, users) if u not in eval_users]
-            n_extra_dropped += len(extra) - len(kept)
-            extra = kept
+        extra, dropped = load_extra_split(os.path.join(raw_dir, fname),
+                                          eval_users)
+        n_extra_dropped += dropped
         train_seqs = train_seqs + extra
     if train_fraction < 1.0:
         perm = np.random.RandomState(20260821).permutation(len(train_seqs))
